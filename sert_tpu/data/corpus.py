@@ -1,0 +1,134 @@
+"""Corpus parsers: TREC SGML collections and Amazon review JSON.
+
+Reference coverage (SURVEY.md section 3.1 "Corpus parsers"): readers for
+TREC-format enterprise collections (W3C, CERC — used for expert finding) and
+Amazon product review data (used for LSE product search), each yielding
+(doc_id, text) pairs. Association construction differs per collection:
+experts are associated via candidate-mention heuristics, products own their
+review/description text.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import re
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+
+from sert_tpu.data.assoc import Associations, EntityRegistry
+
+DocStream = Iterator[Tuple[str, str]]
+
+
+def _open_maybe_gzip(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt", errors="replace")
+    return open(path, "r", errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# TREC SGML (<DOC><DOCNO>id</DOCNO> ... </DOC>) — W3C / CERC style.
+# ---------------------------------------------------------------------------
+
+_DOC_RE = re.compile(r"<DOC>(.*?)</DOC>", re.S | re.I)
+_DOCNO_RE = re.compile(r"<DOCNO>\s*(.*?)\s*</DOCNO>", re.S | re.I)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def iter_trec_docs(paths: Iterable[str]) -> DocStream:
+    """Yield (docno, text) from TREC SGML files; tags stripped from text."""
+    for path in paths:
+        with _open_maybe_gzip(path) as fh:
+            content = fh.read()
+        for m in _DOC_RE.finditer(content):
+            body = m.group(1)
+            no = _DOCNO_RE.search(body)
+            if not no:
+                continue
+            text = _TAG_RE.sub(" ", _DOCNO_RE.sub(" ", body))
+            yield no.group(1), text
+
+
+def trec_collection_files(root: str) -> List[str]:
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for f in sorted(files):
+            if f.endswith((".sgml", ".txt", ".trectext", ".gz")):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# Expert candidate associations (W3C/CERC style).
+# ---------------------------------------------------------------------------
+
+def load_candidate_list(path: str) -> EntityRegistry:
+    """Candidate file: one expert per line, ``id<TAB>full name<TAB>email...``.
+    Extra columns are alternate mentions used for association matching."""
+    reg = EntityRegistry()
+    with open(path) as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if parts and parts[0]:
+                reg.add(parts[0])
+    return reg
+
+
+def build_expert_associations(
+    docs: Iterable[Tuple[str, str]],
+    candidates: Dict[str, List[str]],
+    registry: EntityRegistry,
+) -> Associations:
+    """Associate documents with experts by mention matching: a document is
+    associated with every candidate whose name or e-mail occurs in its text
+    (the reference's authorship/e-mail heuristic, SURVEY.md section 3.1)."""
+    assoc = Associations()
+    compiled = []
+    for cand_id, mentions in candidates.items():
+        pats = [re.compile(re.escape(m), re.I) for m in mentions if m]
+        compiled.append((registry.id(cand_id), pats))
+    for doc_id, text in docs:
+        for ent_id, pats in compiled:
+            if any(p.search(text) for p in pats):
+                assoc.add(doc_id, ent_id)
+    return assoc
+
+
+# ---------------------------------------------------------------------------
+# Amazon review JSON (one JSON object per line: asin, reviewText, summary).
+# ---------------------------------------------------------------------------
+
+def iter_amazon_reviews(paths: Iterable[str]) -> Iterator[Tuple[str, str, str]]:
+    """Yield (review_id, asin, text) from Amazon review JSON-lines files."""
+    for path in paths:
+        with _open_maybe_gzip(path) as fh:
+            for i, line in enumerate(fh):
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    obj = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                asin = obj.get("asin")
+                if not asin:
+                    continue
+                text = " ".join(
+                    str(obj.get(k, "")) for k in ("summary", "reviewText", "description"))
+                yield f"{os.path.basename(path)}:{i}", asin, text
+
+
+def build_product_collection(
+    review_paths: Iterable[str],
+) -> Tuple[Dict[str, str], Associations, EntityRegistry]:
+    """Products are entities; each review document is associated with its
+    product (the LSE setting: an entity's text is its own reviews)."""
+    registry = EntityRegistry()
+    assoc = Associations()
+    docs: Dict[str, str] = {}
+    for review_id, asin, text in iter_amazon_reviews(review_paths):
+        ent = registry.add(asin)
+        docs[review_id] = text
+        assoc.add(review_id, ent)
+    return docs, assoc, registry

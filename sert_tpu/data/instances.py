@@ -1,0 +1,148 @@
+"""Serialized training instances: sharded on-disk batches.
+
+Reference behavior (SURVEY.md sections 3.1/4.1): the prepare step serializes
+shuffled instance batches to disk; the trainer streams them per epoch. Here a
+shard is one ``.npz`` with three aligned int32 arrays (windows [N, w],
+lengths [N], entities [N]) plus a JSON meta file for the whole dataset.
+
+Determinism & resume contract: iteration order is a pure function of
+(seed, epoch); the (epoch, shard, batch) cursor stored in checkpoints makes
+resume exact (SURVEY.md section 6, checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+META_NAME = "instances.meta.json"
+
+
+class InstanceWriter:
+    """Accumulates (windows, lengths, entities) arrays and writes shards.
+
+    Instances are shuffled within each shard at write time (reference
+    semantics: shuffled batches on disk); cross-shard order is randomized per
+    epoch by the reader.
+    """
+
+    def __init__(self, out_dir: str, window_size: int,
+                 instances_per_shard: int = 1 << 18, seed: int = 0):
+        self.out_dir = out_dir
+        self.window_size = int(window_size)
+        self.instances_per_shard = int(instances_per_shard)
+        self._rng = np.random.default_rng(seed)
+        self._buf_w: List[np.ndarray] = []
+        self._buf_l: List[np.ndarray] = []
+        self._buf_e: List[np.ndarray] = []
+        self._buffered = 0
+        self._shards: List[Dict] = []
+        os.makedirs(out_dir, exist_ok=True)
+
+    def add(self, windows: np.ndarray, lengths: np.ndarray, entities: np.ndarray) -> None:
+        if windows.shape[0] == 0:
+            return
+        assert windows.shape[1] == self.window_size
+        self._buf_w.append(np.asarray(windows, np.int32))
+        self._buf_l.append(np.asarray(lengths, np.int32))
+        self._buf_e.append(np.asarray(entities, np.int32))
+        self._buffered += windows.shape[0]
+        while self._buffered >= self.instances_per_shard:
+            self._flush(self.instances_per_shard)
+
+    def _flush(self, n: int) -> None:
+        w = np.concatenate(self._buf_w)
+        l = np.concatenate(self._buf_l)
+        e = np.concatenate(self._buf_e)
+        take_w, rest_w = w[:n], w[n:]
+        take_l, rest_l = l[:n], l[n:]
+        take_e, rest_e = e[:n], e[n:]
+        perm = self._rng.permutation(take_w.shape[0])
+        idx = len(self._shards)
+        path = os.path.join(self.out_dir, f"shard-{idx:05d}.npz")
+        np.savez(path, windows=take_w[perm], lengths=take_l[perm], entities=take_e[perm])
+        self._shards.append({"path": os.path.basename(path), "num": int(take_w.shape[0])})
+        self._buf_w, self._buf_l, self._buf_e = [rest_w], [rest_l], [rest_e]
+        self._buffered = int(rest_w.shape[0])
+
+    def finalize(self, extra_meta: Optional[Dict] = None) -> Dict:
+        if self._buffered:
+            self._flush(self._buffered)
+        meta = {
+            "window_size": self.window_size,
+            "num_instances": int(sum(s["num"] for s in self._shards)),
+            "shards": self._shards,
+        }
+        if extra_meta:
+            meta.update(extra_meta)
+        with open(os.path.join(self.out_dir, META_NAME), "w") as fh:
+            json.dump(meta, fh, indent=2)
+        return meta
+
+
+Cursor = Tuple[int, int, int]  # (epoch, shard_position, batch_within_shard)
+
+
+class InstanceDataset:
+    """Deterministic shuffled batch iterator over instance shards.
+
+    Per epoch: shard order is permuted by ``default_rng((seed, epoch))`` and
+    each shard is permuted in-memory, so two processes with the same seed see
+    identical streams. ``iter_batches`` can start from a cursor for exact
+    resume. Trailing instances that do not fill a batch are dropped (static
+    shapes for the compiled train step).
+    """
+
+    def __init__(self, data_dir: str, seed: int = 0):
+        self.data_dir = data_dir
+        self.seed = int(seed)
+        with open(os.path.join(data_dir, META_NAME)) as fh:
+            self.meta = json.load(fh)
+        self.window_size = int(self.meta["window_size"])
+        self.num_instances = int(self.meta["num_instances"])
+        self._shard_files = [s["path"] for s in self.meta["shards"]]
+
+    def num_batches_per_epoch(self, batch_size: int) -> int:
+        # Lower bound: per-shard drop-last.
+        total = 0
+        for s in self.meta["shards"]:
+            total += s["num"] // batch_size
+        return total
+
+    def _load_shard(self, name: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        with np.load(os.path.join(self.data_dir, name)) as z:
+            return z["windows"], z["lengths"], z["entities"]
+
+    def iter_batches(
+        self,
+        batch_size: int,
+        epoch: int,
+        start_cursor: Optional[Cursor] = None,
+    ) -> Iterator[Tuple[Dict[str, np.ndarray], Cursor]]:
+        """Yield (batch dict, cursor-of-NEXT-batch) pairs for one epoch."""
+        rng = np.random.default_rng([self.seed, epoch])
+        shard_order = rng.permutation(len(self._shard_files))
+        # One sub-rng per shard, drawn up-front so skipping shards on resume
+        # does not change later shards' permutations.
+        shard_seeds = rng.integers(0, 2**63 - 1, size=len(self._shard_files))
+
+        start_shard, start_batch = 0, 0
+        if start_cursor is not None:
+            c_epoch, start_shard, start_batch = start_cursor
+            assert c_epoch == epoch, "cursor epoch mismatch"
+
+        for si in range(start_shard, len(shard_order)):
+            name = self._shard_files[shard_order[si]]
+            w, l, e = self._load_shard(name)
+            perm = np.random.default_rng(shard_seeds[si]).permutation(w.shape[0])
+            w, l, e = w[perm], l[perm], e[perm]
+            n_batches = w.shape[0] // batch_size
+            b0 = start_batch if si == start_shard else 0
+            for bi in range(b0, n_batches):
+                lo, hi = bi * batch_size, (bi + 1) * batch_size
+                batch = {"windows": w[lo:hi], "lengths": l[lo:hi], "entities": e[lo:hi]}
+                nxt: Cursor = (epoch, si, bi + 1) if bi + 1 < n_batches else (epoch, si + 1, 0)
+                yield batch, nxt

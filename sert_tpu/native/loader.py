@@ -1,0 +1,81 @@
+"""ctypes loader for the C++ window-sweep library (graceful fallback).
+
+``maybe_load()`` returns a module-like object with ``extract_windows`` when
+``libsert_native.so`` has been built (see sert_tpu/native/build.sh), else
+None — callers fall back to the numpy implementation with identical output.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_LIB_NAME = "libsert_native.so"
+_cached: Optional["_NativeWindows"] = None
+_load_attempted = False
+
+
+class _NativeWindows:
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        self._lib.sert_window_count.restype = ctypes.c_int64
+        self._lib.sert_window_count.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        self._lib.sert_extract_windows.restype = None
+        self._lib.sert_extract_windows.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,   # token ids
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,   # entity ids
+            ctypes.c_int64, ctypes.c_int64,                   # window, stride
+            ctypes.POINTER(ctypes.c_int32),                   # out windows
+            ctypes.POINTER(ctypes.c_int32),                   # out lengths
+            ctypes.POINTER(ctypes.c_int32),                   # out entities
+        ]
+
+    def extract_windows(
+        self,
+        token_ids: Sequence[int],
+        entity_ids: Sequence[int],
+        window_size: int,
+        stride: int = 1,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids = np.ascontiguousarray(token_ids, dtype=np.int32)
+        ents = np.ascontiguousarray(entity_ids, dtype=np.int32)
+        n_tok, n_ent = ids.shape[0], ents.shape[0]
+        n_win = int(self._lib.sert_window_count(n_tok, window_size, stride))
+        n_out = n_win * n_ent
+        windows = np.zeros((n_out, window_size), np.int32)
+        lengths = np.empty((n_out,), np.int32)
+        entities = np.empty((n_out,), np.int32)
+        if n_out:
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            self._lib.sert_extract_windows(
+                ids.ctypes.data_as(i32p), n_tok,
+                ents.ctypes.data_as(i32p), n_ent,
+                window_size, stride,
+                windows.ctypes.data_as(i32p),
+                lengths.ctypes.data_as(i32p),
+                entities.ctypes.data_as(i32p),
+            )
+        return windows, lengths, entities
+
+
+def lib_path() -> str:
+    return os.path.join(os.path.dirname(__file__), _LIB_NAME)
+
+
+def maybe_load() -> Optional[_NativeWindows]:
+    global _cached, _load_attempted
+    if _load_attempted:
+        return _cached
+    _load_attempted = True
+    path = lib_path()
+    if not os.path.exists(path):
+        return None
+    try:
+        _cached = _NativeWindows(ctypes.CDLL(path))
+    except OSError:
+        _cached = None
+    return _cached

@@ -1,0 +1,129 @@
+"""Typed configuration dataclasses.
+
+The reference shared argparse validators across scripts (SURVEY.md section 3.1,
+"CLI / arg parsing"); here configs are frozen dataclasses serialized into
+checkpoints and recipe files so every run is a reproducible command.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple, Type, TypeVar
+
+T = TypeVar("T")
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Corpus → instances parameters (reference 'prepare' step, SURVEY 4.1)."""
+
+    window_size: int = 8            # sliding window width in tokens
+    stride: int = 1                 # window stride over the token stream
+    vocab_max_size: int = 65536     # top-N terms kept
+    vocab_min_count: int = 2        # minimum term frequency
+    filter_stopwords: bool = True
+    lowercase: bool = True
+    min_token_len: int = 1
+    drop_numeric: bool = False      # drop pure-digit tokens
+    instances_per_shard: int = 1 << 18
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model hyperparameters covering both families (SURVEY 3.1 models)."""
+
+    model: str = "loglinear"        # "loglinear" | "lse"
+    vocab_size: int = 0             # filled from the built vocabulary
+    num_entities: int = 0           # filled from the entity registry
+    word_dim: int = 128             # word-embedding dimensionality
+    entity_dim: int = 128           # entity-space dimensionality (LSE)
+    # LSE negative sampling:
+    num_negatives: int = 10
+    negative_distribution: str = "uniform"   # "uniform" | "unigram"
+    unigram_power: float = 0.75
+    # Numerics:
+    compute_dtype: str = "float32"  # "float32" | "bfloat16" (MXU-friendly)
+    param_dtype: str = "float32"
+
+    def replace(self, **kw: Any) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 1024
+    num_epochs: int = 5
+    optimizer: str = "adam"         # "adam" | "adagrad" | "sgd"
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 0.0     # 0 disables clipping
+    checkpoint_every_steps: int = 0  # 0 = per-epoch only
+    seed: int = 0
+    log_every_steps: int = 50
+    # Mesh: (data_parallel, model_parallel) axis sizes; (1, 1) = single chip.
+    mesh_shape: Tuple[int, int] = (1, 1)
+    donate_state: bool = True
+
+
+@dataclass(frozen=True)
+class ScoreConfig:
+    top_k: int = 100
+    entity_chunk: int = 1 << 15      # streaming chunk over the entity axis
+    query_batch: int = 64
+    similarity: str = "dot"          # "dot" | "cosine" (LSE query time)
+    aggregate: str = "sum_log_prob"  # log-linear per-term aggregation
+    use_pallas: bool = False         # tiled Pallas scoring kernel
+
+
+@dataclass(frozen=True)
+class RecipeConfig:
+    """One end-to-end run: data + model + train + score (BASELINE.json configs)."""
+
+    name: str = "recipe"
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    score: ScoreConfig = field(default_factory=ScoreConfig)
+
+
+def config_to_dict(cfg: Any) -> Dict[str, Any]:
+    """Recursively serialize a (possibly nested) config dataclass."""
+    out: Dict[str, Any] = {}
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        out[f.name] = config_to_dict(v) if dataclasses.is_dataclass(v) else (
+            list(v) if isinstance(v, tuple) else v)
+    return out
+
+
+def config_from_dict(cls: Type[T], d: Dict[str, Any]) -> T:
+    """Inverse of :func:`config_to_dict`; ignores unknown keys for forward compat."""
+    kwargs: Dict[str, Any] = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+            kwargs[f.name] = config_from_dict(f.type, v)
+        elif f.name in ("data", "model", "train", "score") and isinstance(v, dict):
+            sub = {"data": DataConfig, "model": ModelConfig,
+                   "train": TrainConfig, "score": ScoreConfig}[f.name]
+            kwargs[f.name] = config_from_dict(sub, v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def save_config(cfg: Any, path: str) -> None:
+    with open(path, "w") as fh:
+        json.dump(config_to_dict(cfg), fh, indent=2, sort_keys=True)
+
+
+def load_recipe(path: str) -> RecipeConfig:
+    with open(path) as fh:
+        return config_from_dict(RecipeConfig, json.load(fh))

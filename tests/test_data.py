@@ -1,0 +1,195 @@
+"""Unit tests for the L2 data layer (SURVEY.md section 5 test pyramid, item 1)."""
+
+import numpy as np
+import pytest
+
+from sert_tpu.data.assoc import Associations, EntityRegistry
+from sert_tpu.data.instances import InstanceDataset, InstanceWriter
+from sert_tpu.data.synthetic import make_synthetic
+from sert_tpu.data.tokenize import tokenize
+from sert_tpu.data.vocab import Vocabulary
+from sert_tpu.data.windows import extract_windows, window_count
+from sert_tpu.data import prepare as prep
+from sert_tpu.utils.config import DataConfig
+
+
+class TestTokenize:
+    def test_basic(self):
+        assert tokenize("Hello, World! x2") == ["hello", "world", "x2"]
+
+    def test_stopwords(self):
+        assert tokenize("the cat and the hat") == ["cat", "hat"]
+        assert tokenize("the cat", filter_stopwords=False) == ["the", "cat"]
+
+    def test_numeric_and_len(self):
+        assert tokenize("a 42 ab", min_token_len=2, filter_stopwords=False,
+                        drop_numeric=True) == ["ab"]
+
+    def test_apostrophe(self):
+        assert tokenize("o'brien's code") == ["o'brien's", "code"]
+
+
+class TestVocabulary:
+    def test_build_order_and_filters(self):
+        streams = [["b", "a", "a", "c", "c", "c"], ["a", "z"]]
+        v = Vocabulary.build(streams, max_size=10, min_count=2)
+        # a:3, c:3 tie -> lexicographic; b:1, z:1 dropped by min_count.
+        assert list(v.iter_terms()) == ["a", "c"]
+        assert v.id("a") == 0 and v.count(0) == 3
+        assert "b" not in v
+
+    def test_max_size(self):
+        streams = [["a"] * 5 + ["b"] * 4 + ["c"] * 3]
+        v = Vocabulary.build(streams, max_size=2, min_count=1)
+        assert len(v) == 2 and "c" not in v
+
+    def test_encode_drops_oov(self):
+        v = Vocabulary(["x", "y"])
+        assert v.encode(["x", "oov", "y", "x"]) == [0, 1, 0]
+
+    def test_roundtrip_and_hash(self, tmp_path):
+        v = Vocabulary(["x", "y"], [5, 3])
+        p = str(tmp_path / "v.json")
+        v.save(p)
+        v2 = Vocabulary.load(p)
+        assert v2.id("y") == 1 and v2.count(0) == 5
+        assert v.content_hash() == v2.content_hash()
+        assert v.content_hash() != Vocabulary(["y", "x"]).content_hash()
+
+
+class TestWindows:
+    def test_window_count(self):
+        assert window_count(10, 4, 1) == 7
+        assert window_count(10, 4, 2) == 4
+        assert window_count(3, 4) == 1      # short doc -> one padded window
+        assert window_count(0, 4) == 0
+
+    def test_exact_windows(self):
+        w, l, e = extract_windows([1, 2, 3, 4, 5], [9], window_size=3)
+        np.testing.assert_array_equal(w, [[1, 2, 3], [2, 3, 4], [3, 4, 5]])
+        np.testing.assert_array_equal(l, [3, 3, 3])
+        np.testing.assert_array_equal(e, [9, 9, 9])
+
+    def test_stride(self):
+        w, _, _ = extract_windows(list(range(6)), [0], window_size=2, stride=2)
+        np.testing.assert_array_equal(w, [[0, 1], [2, 3], [4, 5]])
+
+    def test_short_doc_padded(self):
+        w, l, e = extract_windows([7, 8], [1, 2], window_size=4)
+        np.testing.assert_array_equal(w, [[7, 8, 0, 0], [7, 8, 0, 0]])
+        np.testing.assert_array_equal(l, [2, 2])
+        np.testing.assert_array_equal(e, [1, 2])
+
+    def test_multi_entity_replication(self):
+        w, l, e = extract_windows([1, 2, 3], [5, 6], window_size=2)
+        assert w.shape == (4, 2)
+        np.testing.assert_array_equal(e, [5, 6, 5, 6])
+
+    def test_empty(self):
+        w, l, e = extract_windows([], [1], window_size=4)
+        assert w.shape == (0, 4)
+        w, l, e = extract_windows([1, 2, 3], [], window_size=2)
+        assert w.shape == (0, 2)
+
+
+class TestInstances:
+    def _write(self, tmp_path, n=1000, w=4, shard=256, seed=0):
+        writer = InstanceWriter(str(tmp_path), window_size=w,
+                                instances_per_shard=shard, seed=seed)
+        rng = np.random.default_rng(1)
+        writer.add(rng.integers(0, 100, size=(n, w)).astype(np.int32),
+                   np.full(n, w, np.int32),
+                   np.arange(n, dtype=np.int32))
+        return writer.finalize()
+
+    def test_sharding_and_counts(self, tmp_path):
+        meta = self._write(tmp_path, n=1000, shard=256)
+        assert meta["num_instances"] == 1000
+        assert [s["num"] for s in meta["shards"]] == [256, 256, 256, 232]
+
+    def test_iteration_covers_all_and_is_deterministic(self, tmp_path):
+        self._write(tmp_path, n=512, shard=128)
+        ds = InstanceDataset(str(tmp_path), seed=7)
+        def collect(epoch):
+            ents = []
+            for batch, _ in ds.iter_batches(64, epoch=epoch):
+                assert batch["windows"].shape == (64, 4)
+                ents.append(batch["entities"])
+            return np.concatenate(ents)
+        e0a, e0b, e1 = collect(0), collect(0), collect(1)
+        np.testing.assert_array_equal(e0a, e0b)         # deterministic
+        assert not np.array_equal(e0a, e1)              # epoch reshuffles
+        assert set(e0a.tolist()) == set(range(512))     # full coverage
+
+    def test_cursor_resume(self, tmp_path):
+        self._write(tmp_path, n=512, shard=128)
+        ds = InstanceDataset(str(tmp_path), seed=3)
+        full = list(ds.iter_batches(32, epoch=0))
+        # Resume from the cursor after the 5th batch.
+        _, cursor = full[4]
+        resumed = list(ds.iter_batches(32, epoch=0, start_cursor=cursor))
+        assert len(resumed) == len(full) - 5
+        for (b_full, _), (b_res, _) in zip(full[5:], resumed):
+            np.testing.assert_array_equal(b_full["windows"], b_res["windows"])
+            np.testing.assert_array_equal(b_full["entities"], b_res["entities"])
+
+    def test_drop_last(self, tmp_path):
+        self._write(tmp_path, n=100, shard=100)
+        ds = InstanceDataset(str(tmp_path))
+        batches = list(ds.iter_batches(30, epoch=0))
+        assert len(batches) == 3  # 100 // 30
+
+
+class TestAssoc:
+    def test_registry(self):
+        r = EntityRegistry()
+        assert r.add("e1") == 0 and r.add("e2") == 1 and r.add("e1") == 0
+        assert r.name(1) == "e2" and len(r) == 2
+
+    def test_assoc_counts(self):
+        a = Associations()
+        a.add("d1", 0); a.add("d1", 1); a.add("d1", 0); a.add("d2", 1)
+        assert a.entities_for("d1") == [0, 1]
+        assert a.entity_instance_counts(3) == [1, 2, 0]
+
+    def test_roundtrip(self, tmp_path):
+        a = Associations()
+        a.add("d1", 0); a.add("d2", 2)
+        p = str(tmp_path / "a.json")
+        a.save(p)
+        b = Associations.load(p)
+        assert b.entities_for("d2") == [2]
+
+
+class TestSyntheticAndPrepare:
+    def test_synthetic_deterministic(self):
+        c1 = make_synthetic(num_entities=8, vocab_size=300, docs_per_entity=3,
+                            doc_len=40, num_topics=4, seed=5)
+        c2 = make_synthetic(num_entities=8, vocab_size=300, docs_per_entity=3,
+                            doc_len=40, num_topics=4, seed=5)
+        assert c1.docs == c2.docs and c1.topics == c2.topics
+        assert len(c1.docs) == 24
+        for tid, rel in c1.qrels.items():
+            assert len(rel) == 1
+
+    def test_prepare_end_to_end(self, tmp_path):
+        col = make_synthetic(num_entities=8, vocab_size=300, docs_per_entity=3,
+                             doc_len=40, num_topics=4, seed=5)
+        reg = EntityRegistry(col.entities)
+        assoc = Associations()
+        for doc_id, ents in col.doc_entities.items():
+            for e in ents:
+                assoc.add(doc_id, reg.id(e))
+        cfg = DataConfig(window_size=6, vocab_min_count=1, vocab_max_size=1000,
+                         instances_per_shard=500)
+        meta = prep.prepare(col.docs, assoc, reg, str(tmp_path), cfg)
+        assert meta["num_instances"] > 0
+        assert meta["num_entities"] == 8
+        ds = InstanceDataset(str(tmp_path))
+        batch, _ = next(ds.iter_batches(16, epoch=0))
+        assert batch["windows"].shape == (16, 6)
+        assert batch["entities"].max() < 8
+        # Queries encode through the same vocab.
+        vocab = Vocabulary.load(str(tmp_path / "vocab.json"))
+        q = prep.encode_queries(col.topics, vocab, cfg)
+        assert all(len(ids) > 0 for ids in q.values())

@@ -1,0 +1,124 @@
+"""LSE — Latent Semantic Entities (product search; CIKM 2016).
+
+Architecture (SURVEY.md section 1, model family 2): word embeddings ->
+masked-mean pooling -> ``tanh(W x + b)`` projection into entity space ->
+similarity against a learned entity-embedding matrix E [num_entities, d_e].
+Trained with negative sampling (the word2vec-style sampled contrastive
+objective), which is what lets the entity vocabulary scale; a full-softmax
+mode exists for small-scale cross-checks (SURVEY.md section 8, hard part 1).
+
+Sharding notes: ``entity_emb`` [E, d_e] carries the entity axis (sharded on
+axis 0 under the ``model`` mesh axis). Negative sampling gathers only k
+rows per example, so the train step stays collective-light; the full-softmax
+cross-check reduces over the sharded axis via log-sum-exp.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sert_tpu.models.common import (
+    Params,
+    compute_dtype,
+    masked_mean_embed,
+    scaled_normal_init,
+)
+from sert_tpu.utils.config import ModelConfig
+
+
+def init(rng: jax.Array, cfg: ModelConfig) -> Params:
+    k_emb, k_w, k_ent = jax.random.split(rng, 3)
+    dw, de, V, E = cfg.word_dim, cfg.entity_dim, cfg.vocab_size, cfg.num_entities
+    pd = jnp.float32 if cfg.param_dtype == "float32" else jnp.bfloat16
+    return {
+        "word_emb": scaled_normal_init(k_emb, (V, dw), dw, pd),
+        "proj_w": scaled_normal_init(k_w, (dw, de), dw, pd),
+        "proj_b": jnp.zeros((de,), pd),
+        "entity_emb": scaled_normal_init(k_ent, (E, de), de, pd),
+    }
+
+
+def noise_logits(entity_counts: Optional[jnp.ndarray], cfg: ModelConfig) -> jnp.ndarray:
+    """Log-weights of the negative-sampling distribution over entities.
+
+    ``uniform``: all-zeros. ``unigram``: counts**power (word2vec's 3/4
+    heuristic applied to entity association frequencies). Returned as logits
+    for ``jax.random.categorical``.
+    """
+    E = cfg.num_entities
+    if cfg.negative_distribution == "uniform" or entity_counts is None:
+        return jnp.zeros((E,), jnp.float32)
+    c = jnp.asarray(entity_counts, jnp.float32)
+    return cfg.unigram_power * jnp.log(jnp.maximum(c, 1e-12))
+
+
+def window_rep(params: Params, windows: jax.Array, lengths: jax.Array,
+               cfg: ModelConfig) -> jax.Array:
+    """[B, d_e] projected window representations: tanh(W·mean_emb + b)."""
+    ct = compute_dtype(cfg)
+    pooled = masked_mean_embed(params["word_emb"].astype(ct), windows, lengths)
+    h = jnp.dot(pooled, params["proj_w"].astype(ct),
+                preferred_element_type=jnp.float32)
+    return jnp.tanh(h + params["proj_b"].astype(jnp.float32))
+
+
+def sample_negatives(rng: jax.Array, noise: jax.Array, batch_size: int,
+                     cfg: ModelConfig) -> jax.Array:
+    """[B, k] negative entity ids ~ noise distribution, iid with replacement."""
+    return jax.random.categorical(
+        rng, noise, shape=(batch_size, cfg.num_negatives))
+
+
+def loss(params: Params, batch, cfg: ModelConfig, rng: jax.Array = None,
+         negatives: Optional[jax.Array] = None,
+         noise: Optional[jax.Array] = None) -> jax.Array:
+    """Negative-sampling objective:
+
+        -E[ log sigma(rep·e+) + sum_k log sigma(-rep·e-_k) ]
+
+    ``negatives`` may be passed explicitly (parity tests); otherwise they are
+    sampled from ``noise`` (default uniform) with ``rng``.
+    """
+    reps = window_rep(params, batch["windows"], batch["lengths"], cfg)  # [B, de]
+    B = reps.shape[0]
+    if negatives is None:
+        if noise is None:
+            noise = jnp.zeros((cfg.num_entities,), jnp.float32)
+        negatives = sample_negatives(rng, noise, B, cfg)                # [B, k]
+
+    ent = params["entity_emb"].astype(jnp.float32)
+    pos_vec = ent[batch["entities"]]                                    # [B, de]
+    neg_vec = ent[negatives]                                            # [B, k, de]
+    s_pos = jnp.sum(reps * pos_vec, axis=-1)                            # [B]
+    s_neg = jnp.einsum("bd,bkd->bk", reps, neg_vec)                     # [B, k]
+    ll = jax.nn.log_sigmoid(s_pos) + jnp.sum(jax.nn.log_sigmoid(-s_neg), axis=-1)
+    return -jnp.mean(ll)
+
+
+def loss_full_softmax(params: Params, batch, cfg: ModelConfig,
+                      rng: jax.Array = None) -> jax.Array:
+    """Full-softmax cross-entropy over all entities (small-scale cross-check
+    for the sampled objective; also usable as a trainable mode)."""
+    del rng
+    reps = window_rep(params, batch["windows"], batch["lengths"], cfg)
+    ct = compute_dtype(cfg)
+    z = jnp.dot(reps.astype(ct), params["entity_emb"].astype(ct).T,
+                preferred_element_type=jnp.float32)                     # [B, E]
+    lse = jax.scipy.special.logsumexp(z, axis=-1)
+    gold = jnp.take_along_axis(z, batch["entities"][:, None], axis=-1)[:, 0]
+    return jnp.mean(lse - gold)
+
+
+def query_scores(params: Params, term_ids: jax.Array, num_terms: jax.Array,
+                 cfg: ModelConfig, similarity: str = "dot") -> jax.Array:
+    """[E] scores: project the whole query as one window, then dot/cosine
+    against every entity vector (the LSE retrieval rule)."""
+    rep = window_rep(params, term_ids[None, :], num_terms[None], cfg)   # [1, de]
+    ent = params["entity_emb"].astype(jnp.float32)
+    if similarity == "cosine":
+        rep = rep / jnp.maximum(jnp.linalg.norm(rep, axis=-1, keepdims=True), 1e-9)
+        ent = ent / jnp.maximum(jnp.linalg.norm(ent, axis=-1, keepdims=True), 1e-9)
+    return jnp.dot(ent, rep[0])

@@ -1,0 +1,158 @@
+"""Command-line interface: the reference's four scripts as subcommands.
+
+  python -m sert_tpu prepare   — collection -> vocab + instance shards
+  python -m sert_tpu train     — instances -> per-epoch checkpoints
+  python -m sert_tpu query     — checkpoint + topics -> TREC run file
+  python -m sert_tpu evaluate  — run + qrels -> metrics
+  python -m sert_tpu e2e       — synthetic recipe end-to-end (offline demo)
+
+(SURVEY.md section 4: prepare/train/query/evaluate entry points.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+
+def _add_recipe_arg(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--recipe", required=True,
+                   help="named recipe (see `list`) or path to a recipe JSON")
+
+
+def _load_recipe(spec: str):
+    from sert_tpu import recipes
+    from sert_tpu.utils.config import load_recipe
+    if spec in recipes.RECIPES:
+        return recipes.RECIPES[spec]()
+    if os.path.exists(spec):
+        return load_recipe(spec)
+    raise SystemExit(f"unknown recipe {spec!r}; try `python -m sert_tpu list`")
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(prog="sert_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("list", help="list named recipes")
+
+    p = sub.add_parser("prepare", help="build vocab + instance shards")
+    _add_recipe_arg(p)
+    p.add_argument("--out", required=True, help="output data directory")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the recipe's synthetic stand-in collection")
+    p.add_argument("--trec-docs", nargs="*", default=None,
+                   help="TREC SGML collection files/dirs")
+    p.add_argument("--amazon-reviews", nargs="*", default=None,
+                   help="Amazon review JSON(.gz) files")
+
+    p = sub.add_parser("train", help="train from prepared instances")
+    _add_recipe_arg(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--no-resume", action="store_true")
+
+    p = sub.add_parser("query", help="score topics into a TREC run file")
+    _add_recipe_arg(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--topics", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step (default: latest)")
+
+    p = sub.add_parser("evaluate", help="trec_eval-style metrics")
+    p.add_argument("--run", required=True)
+    p.add_argument("--qrels", required=True)
+    p.add_argument("--measures", nargs="*", default=None)
+
+    p = sub.add_parser("e2e", help="synthetic recipe end to end")
+    _add_recipe_arg(p)
+    p.add_argument("--workdir", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "list":
+        from sert_tpu import recipes
+        for name in recipes.RECIPES:
+            print(name)
+        return 0
+
+    if args.cmd == "prepare":
+        recipe = _load_recipe(args.recipe)
+        from sert_tpu import pipeline, recipes
+        if args.synthetic or not (args.trec_docs or args.amazon_reviews):
+            spec = recipes.SYNTH_SPECS.get(recipe.name) or recipes.tiny_spec()
+            col = spec.build()
+            pipeline.prepare_collection(col, args.out, recipe)
+            # Persist topics/qrels so query/evaluate can run offline.
+            from sert_tpu.eval.trec import write_qrels, write_topics
+            write_topics(col.topics, os.path.join(args.out, "topics.tsv"))
+            write_qrels(col.qrels, os.path.join(args.out, "qrels.trec"))
+        elif args.amazon_reviews:
+            from sert_tpu.data.corpus import build_product_collection
+            from sert_tpu.data.prepare import prepare
+            docs, assoc, registry = build_product_collection(args.amazon_reviews)
+            prepare(docs, assoc, registry, args.out, recipe.data)
+        else:
+            from sert_tpu.data.corpus import iter_trec_docs, trec_collection_files
+            raise SystemExit(
+                "TREC expert-finding prepare needs a candidates file wiring; "
+                "provide associations explicitly via the library API "
+                "(sert_tpu.data.corpus.build_expert_associations)")
+        return 0
+
+    if args.cmd == "train":
+        recipe = _load_recipe(args.recipe)
+        from sert_tpu import pipeline
+        pipeline.train_from_dir(recipe, args.data, args.out,
+                                resume=not args.no_resume)
+        return 0
+
+    if args.cmd == "query":
+        recipe = _load_recipe(args.recipe)
+        from sert_tpu import pipeline
+        from sert_tpu.data.instances import InstanceDataset
+        from sert_tpu.data.prepare import encode_queries
+        from sert_tpu.eval.trec import read_topics, write_run
+        from sert_tpu.scoring.run import score_topics
+        ds = InstanceDataset(args.data)
+        resolved = pipeline.resolve_model_config(recipe, ds.meta)
+        params, vocab, registry = pipeline.load_scorer(
+            args.run_dir, args.data, resolved, step=args.step)
+        topics = read_topics(args.topics)
+        encoded = encode_queries(topics, vocab, resolved.data)
+        run = score_topics(params, resolved.model, encoded, registry.names,
+                           resolved.score)
+        write_run(run, args.out)
+        print(f"wrote {sum(len(v) for v in run.values())} entries "
+              f"for {len(run)} topics to {args.out}")
+        return 0
+
+    if args.cmd == "evaluate":
+        from sert_tpu.eval.metrics import DEFAULT_MEASURES, evaluate_run
+        from sert_tpu.eval.trec import read_qrels, read_run
+        run = read_run(args.run)
+        qrels = read_qrels(args.qrels)
+        measures = tuple(args.measures) if args.measures else DEFAULT_MEASURES
+        results = evaluate_run(run, qrels, measures)
+        print(json.dumps(results["all"], indent=2, sort_keys=True))
+        return 0
+
+    if args.cmd == "e2e":
+        recipe = _load_recipe(args.recipe)
+        from sert_tpu import pipeline, recipes
+        spec = recipes.SYNTH_SPECS.get(recipe.name) or recipes.tiny_spec()
+        col = spec.build()
+        results = pipeline.run_end_to_end(col, recipe, args.workdir)
+        print(json.dumps(results["all"], indent=2, sort_keys=True))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

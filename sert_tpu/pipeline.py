@@ -1,0 +1,117 @@
+"""End-to-end pipeline driver: collection -> trained model -> run -> metrics.
+
+This is the reference's four entry points (prepare/train/query/evaluate,
+SURVEY.md section 4) composed into one reproducible function, used by the
+CLI, the recipe runner, the e2e tests, and the benchmark harness.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Mapping, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from sert_tpu.data.assoc import Associations, EntityRegistry
+from sert_tpu.data.instances import InstanceDataset
+from sert_tpu.data.prepare import (ASSOC_NAME, ENTITIES_NAME, VOCAB_NAME,
+                                   encode_queries, prepare)
+from sert_tpu.data.synthetic import SyntheticCollection
+from sert_tpu.data.vocab import Vocabulary
+from sert_tpu.eval.metrics import evaluate_run
+from sert_tpu.eval.trec import write_qrels, write_run, write_topics
+from sert_tpu.models import api
+from sert_tpu.scoring.run import score_topics
+from sert_tpu.train import checkpoint as ckpt
+from sert_tpu.train.loop import train as train_loop
+from sert_tpu.train.step import init_state
+from sert_tpu.utils.config import RecipeConfig, save_config
+from sert_tpu.utils.logging import get_logger
+
+log = get_logger("pipeline")
+
+
+def prepare_collection(col: SyntheticCollection, out_dir: str,
+                       recipe: RecipeConfig) -> Dict:
+    """Prepare any (docs, doc->entities) collection given as a
+    SyntheticCollection-shaped object. Returns instance meta."""
+    registry = EntityRegistry(col.entities)
+    assoc = Associations()
+    for doc_id, ents in col.doc_entities.items():
+        for e in ents:
+            assoc.add(doc_id, registry.id(e))
+    return prepare(col.docs, assoc, registry, out_dir, recipe.data)
+
+
+def resolve_model_config(recipe: RecipeConfig, meta: Mapping) -> RecipeConfig:
+    """Fill vocab_size / num_entities from the prepared dataset."""
+    mcfg = recipe.model.replace(vocab_size=int(meta["vocab_size"]),
+                                num_entities=int(meta["num_entities"]))
+    return RecipeConfig(name=recipe.name, data=recipe.data, model=mcfg,
+                        train=recipe.train, score=recipe.score)
+
+
+def train_from_dir(recipe: RecipeConfig, data_dir: str, out_dir: str,
+                   resume: bool = True, **loop_kwargs):
+    dataset = InstanceDataset(data_dir, seed=recipe.train.seed)
+    recipe = resolve_model_config(recipe, dataset.meta)
+    assoc = Associations.load(os.path.join(data_dir, ASSOC_NAME))
+    counts = np.asarray(
+        assoc.entity_instance_counts(recipe.model.num_entities), np.float64)
+    os.makedirs(out_dir, exist_ok=True)
+    save_config(recipe, os.path.join(out_dir, "recipe.json"))
+    state = train_loop(recipe, dataset, out_dir, entity_counts=counts,
+                       resume=resume, **loop_kwargs)
+    return state, recipe
+
+
+def load_scorer(run_dir: str, data_dir: str, recipe: RecipeConfig,
+                step: Optional[int] = None):
+    """Load a checkpoint (latest or specific step) + vocab + entity names.
+
+    Refuses to score with a vocabulary whose hash differs from the one
+    recorded at train time (SURVEY.md section 6, checkpoint contract).
+    """
+    vocab = Vocabulary.load(os.path.join(data_dir, VOCAB_NAME))
+    registry = EntityRegistry.load(os.path.join(data_dir, ENTITIES_NAME))
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    if step is None:
+        path = ckpt.latest_checkpoint(ckpt_dir)
+    else:
+        path = ckpt.list_checkpoints(ckpt_dir).get(step)
+    if path is None:
+        raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
+    template = init_state(jax.random.key(0), recipe.model, recipe.train)
+    state, meta = ckpt.load_checkpoint(path, template)
+    trained_hash = meta.get("vocab_hash")
+    if trained_hash and trained_hash != vocab.content_hash():
+        raise ValueError("vocabulary hash mismatch between checkpoint and data dir")
+    return state.params, vocab, registry
+
+
+def run_end_to_end(col: SyntheticCollection, recipe: RecipeConfig,
+                   workdir: str) -> Dict[str, Dict[str, float]]:
+    """prepare -> train -> score -> evaluate; returns per-topic metrics
+    (with the macro-average under key "all")."""
+    data_dir = os.path.join(workdir, "data")
+    run_dir = os.path.join(workdir, "run")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(run_dir, exist_ok=True)
+
+    meta = prepare_collection(col, data_dir, recipe)
+    state, recipe = train_from_dir(recipe, data_dir, run_dir)
+
+    vocab = Vocabulary.load(os.path.join(data_dir, VOCAB_NAME))
+    registry = EntityRegistry.load(os.path.join(data_dir, ENTITIES_NAME))
+    encoded = encode_queries(col.topics, vocab, recipe.data)
+    run = score_topics(state.params, recipe.model, encoded, registry.names,
+                       recipe.score)
+
+    write_run(run, os.path.join(run_dir, "run.trec"))
+    write_qrels(col.qrels, os.path.join(run_dir, "qrels.trec"))
+    write_topics(col.topics, os.path.join(run_dir, "topics.tsv"))
+    results = evaluate_run(run, col.qrels)
+    log.info("e2e %s: %s", recipe.name,
+             {k: round(v, 4) for k, v in results["all"].items()})
+    return results

@@ -1,0 +1,159 @@
+"""The five BASELINE.json recipe configurations.
+
+Each recipe names a real dataset (W3C / CERC / Amazon departments); those
+cannot be downloaded offline, so every recipe carries a synthetic stand-in
+spec whose scale mirrors the real one (entity count, embedding dims, model
+family) — see SURVEY.md section 7. When real collection paths are provided,
+the same RecipeConfig drives the real run through sert_tpu.data.corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict
+
+from sert_tpu.data.synthetic import SyntheticCollection, make_synthetic
+from sert_tpu.utils.config import (DataConfig, ModelConfig, RecipeConfig,
+                                   ScoreConfig, TrainConfig)
+
+
+@dataclass(frozen=True)
+class SyntheticSpec:
+    num_entities: int
+    vocab_size: int
+    docs_per_entity: int
+    doc_len: int
+    num_topics: int
+    seed: int = 0
+
+    def build(self) -> SyntheticCollection:
+        return make_synthetic(
+            num_entities=self.num_entities, vocab_size=self.vocab_size,
+            docs_per_entity=self.docs_per_entity, doc_len=self.doc_len,
+            num_topics=self.num_topics, seed=self.seed)
+
+
+# --- BASELINE.json configs 1-5 -------------------------------------------
+
+def w3c_expert_finding(scale: float = 1.0) -> RecipeConfig:
+    """TREC Enterprise 2005 W3C expert finding: ~1.1k candidates, 128-d,
+    log-linear full softmax (BASELINE.json config 1)."""
+    return RecipeConfig(
+        name="w3c_expert_finding",
+        data=DataConfig(window_size=8, vocab_max_size=60000, vocab_min_count=2),
+        model=ModelConfig(model="loglinear", word_dim=128),
+        train=TrainConfig(batch_size=1024, num_epochs=5, optimizer="adam",
+                          learning_rate=1e-3),
+        score=ScoreConfig(top_k=100),
+    )
+
+
+W3C_SYNTH = SyntheticSpec(num_entities=1100, vocab_size=20000,
+                          docs_per_entity=8, doc_len=160, num_topics=50)
+
+
+def cerc_expert_finding() -> RecipeConfig:
+    """TREC Enterprise 2007-08 CERC/CSIRO: ~3.5k experts, 256-d, full
+    softmax (BASELINE.json config 2)."""
+    return RecipeConfig(
+        name="cerc_expert_finding",
+        data=DataConfig(window_size=8, vocab_max_size=60000, vocab_min_count=2),
+        model=ModelConfig(model="loglinear", word_dim=256),
+        train=TrainConfig(batch_size=1024, num_epochs=5, optimizer="adam",
+                          learning_rate=1e-3),
+        score=ScoreConfig(top_k=100),
+    )
+
+
+CERC_SYNTH = SyntheticSpec(num_entities=3500, vocab_size=40000,
+                           docs_per_entity=6, doc_len=160, num_topics=50,
+                           seed=1)
+
+
+def amazon_musical_instruments() -> RecipeConfig:
+    """Amazon product search, small department: LSE with sampled softmax
+    (BASELINE.json config 3)."""
+    return RecipeConfig(
+        name="amazon_musical_instruments",
+        data=DataConfig(window_size=16, vocab_max_size=60000, vocab_min_count=5),
+        model=ModelConfig(model="lse", word_dim=128, entity_dim=128,
+                          num_negatives=10,
+                          negative_distribution="unigram"),
+        train=TrainConfig(batch_size=1024, num_epochs=5, optimizer="adam",
+                          learning_rate=1e-3),
+        score=ScoreConfig(top_k=100, similarity="cosine"),
+    )
+
+
+AMAZON_MI_SYNTH = SyntheticSpec(num_entities=900, vocab_size=15000,
+                                docs_per_entity=10, doc_len=120,
+                                num_topics=50, seed=2)
+
+
+def amazon_home_kitchen() -> RecipeConfig:
+    """Amazon Home & Kitchen: large entity vocab, negative sampling,
+    data-parallel training over the mesh (BASELINE.json config 4)."""
+    return RecipeConfig(
+        name="amazon_home_kitchen",
+        data=DataConfig(window_size=16, vocab_max_size=120000, vocab_min_count=5),
+        model=ModelConfig(model="lse", word_dim=256, entity_dim=256,
+                          num_negatives=10, negative_distribution="unigram",
+                          compute_dtype="bfloat16"),
+        train=TrainConfig(batch_size=4096, num_epochs=3, optimizer="adam",
+                          learning_rate=1e-3, mesh_shape=(8, 1)),
+        score=ScoreConfig(top_k=100, similarity="cosine",
+                          entity_chunk=1 << 16),
+    )
+
+
+AMAZON_HK_SYNTH = SyntheticSpec(num_entities=20000, vocab_size=60000,
+                                docs_per_entity=4, doc_len=100,
+                                num_topics=100, seed=3)
+
+
+def synthetic_10m_scoring() -> RecipeConfig:
+    """Synthetic 10M-entity brute-force scoring + distributed top-k at a
+    fixed memory budget (BASELINE.json config 5) — scoring-only recipe;
+    the entity matrix is sharded over the mesh's model axis."""
+    return RecipeConfig(
+        name="synthetic_10m_scoring",
+        model=ModelConfig(model="lse", word_dim=128, entity_dim=128,
+                          num_entities=10_000_000,
+                          compute_dtype="bfloat16"),
+        train=TrainConfig(mesh_shape=(1, 8)),
+        score=ScoreConfig(top_k=1000, entity_chunk=1 << 17),
+    )
+
+
+RECIPES: Dict[str, Callable[[], RecipeConfig]] = {
+    "w3c_expert_finding": w3c_expert_finding,
+    "cerc_expert_finding": cerc_expert_finding,
+    "amazon_musical_instruments": amazon_musical_instruments,
+    "amazon_home_kitchen": amazon_home_kitchen,
+    "synthetic_10m_scoring": synthetic_10m_scoring,
+}
+
+SYNTH_SPECS: Dict[str, SyntheticSpec] = {
+    "w3c_expert_finding": W3C_SYNTH,
+    "cerc_expert_finding": CERC_SYNTH,
+    "amazon_musical_instruments": AMAZON_MI_SYNTH,
+    "amazon_home_kitchen": AMAZON_HK_SYNTH,
+}
+
+
+def tiny_spec(seed: int = 0) -> SyntheticSpec:
+    """A seconds-scale spec for tests and smoke runs."""
+    return SyntheticSpec(num_entities=32, vocab_size=800, docs_per_entity=6,
+                         doc_len=80, num_topics=16, seed=seed)
+
+
+def tiny_recipe(model: str = "loglinear", **model_kw) -> RecipeConfig:
+    return RecipeConfig(
+        name=f"tiny_{model}",
+        data=DataConfig(window_size=6, vocab_min_count=1, vocab_max_size=2000),
+        model=ModelConfig(model=model, word_dim=32, entity_dim=32,
+                          num_negatives=8, **model_kw),
+        train=TrainConfig(batch_size=256, num_epochs=4, optimizer="adam",
+                          learning_rate=5e-3, log_every_steps=20),
+        score=ScoreConfig(top_k=32),
+    )

@@ -1,0 +1,141 @@
+"""Entity scoring engines: exact dense and streaming chunked top-k.
+
+Math note (why one engine serves both model families):
+
+  * log-linear:  log P(c|q) = sum_t [ z_tc - lse_t ],  z_tc = e_t·W_c + b_c.
+    The per-term normalizer lse_t is constant across entities, so ranking
+    needs only sum_t z_tc = (sum_t e_t)·W_c + |q|·b_c — a single matvec
+    against the entity matrix. The engine still reports EXACT log-probs: an
+    online (max, sumexp) accumulator over entity chunks computes every
+    lse_t in the same sweep, and the constant is folded into the final
+    top-k scores.
+  * LSE: score = f(q)·e_c (or cosine) — directly a matvec.
+
+So: scores = R @ M^T + alpha*bias + const(q), with R [Q, d], M [E, d].
+``streaming_topk`` scans M in chunks, merging a running top-k; peak memory is
+O(Q*(T*chunk)) instead of O(Q*E) — the fixed-memory contract BASELINE.json
+demands for the 10M-entity configuration.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sert_tpu.models import api, lse as lse_model
+from sert_tpu.models.common import compute_dtype, masked_mean_embed
+from sert_tpu.utils.config import ModelConfig, ScoreConfig
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _query_reps_and_terms(params, cfg: ModelConfig, term_ids, num_terms,
+                          similarity: str):
+    """R [Q, d] plus (for log-linear) masked term embeddings [Q, T, d]."""
+    ct = compute_dtype(cfg)
+    Q, T = term_ids.shape
+    mask = (jnp.arange(T)[None, :] < num_terms[:, None])          # [Q, T]
+    if cfg.model == "loglinear":
+        emb = params["word_emb"].astype(ct)[term_ids]             # [Q, T, d]
+        emb = emb * mask[:, :, None].astype(emb.dtype)
+        return jnp.sum(emb, axis=1), emb, mask
+    reps = lse_model.window_rep(params, term_ids, num_terms, cfg)  # [Q, de]
+    if similarity == "cosine":
+        reps = reps / jnp.maximum(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-9)
+    return reps, None, mask
+
+
+def _entity_matrix(params, cfg: ModelConfig, similarity: str) -> jax.Array:
+    M = api.entity_matrix(params, cfg).astype(jnp.float32)        # [E, d]
+    if cfg.model != "loglinear" and similarity == "cosine":
+        M = M / jnp.maximum(jnp.linalg.norm(M, axis=-1, keepdims=True), 1e-9)
+    return M
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "similarity"))
+def dense_scores(params, cfg: ModelConfig, term_ids: jax.Array,
+                 num_terms: jax.Array, similarity: str = "dot") -> jax.Array:
+    """Exact [Q, E] scores (log-probs for log-linear, similarity for LSE)."""
+    R, term_emb, mask = _query_reps_and_terms(params, cfg, term_ids,
+                                              num_terms, similarity)
+    M = _entity_matrix(params, cfg, similarity)
+    scores = jnp.dot(R.astype(jnp.float32), M.T,
+                     preferred_element_type=jnp.float32)          # [Q, E]
+    if cfg.model == "loglinear":
+        b = params["proj_b"].astype(jnp.float32)
+        scores = scores + num_terms.astype(jnp.float32)[:, None] * b[None, :]
+        # exact per-term normalizers
+        z = jnp.einsum("qtd,ed->qte", term_emb.astype(jnp.float32), M) + b
+        lse_t = jax.scipy.special.logsumexp(z, axis=-1)           # [Q, T]
+        scores = scores - jnp.sum(lse_t * mask, axis=-1)[:, None]
+    return scores
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "k", "chunk", "similarity"))
+def streaming_topk(params, cfg: ModelConfig, term_ids: jax.Array,
+                   num_terms: jax.Array, k: int = 100, chunk: int = 32768,
+                   similarity: str = "dot"
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Top-k entity (scores [Q,k], indices [Q,k]) at O(Q*chunk) memory.
+
+    Scans the entity matrix in ``chunk``-row blocks; each step is one MXU
+    matmul plus a top-k merge of the running best against the block. The
+    log-linear normalizer accumulates online (streaming logsumexp) and is
+    applied after the scan — identical scores to :func:`dense_scores`.
+    """
+    E = api.entity_matrix(params, cfg).shape[0]
+    k = min(k, E)
+    R, term_emb, mask = _query_reps_and_terms(params, cfg, term_ids,
+                                              num_terms, similarity)
+    M = _entity_matrix(params, cfg, similarity)
+    Q = R.shape[0]
+
+    n_chunks = -(-E // chunk)
+    pad = n_chunks * chunk - E
+    M_p = jnp.pad(M, ((0, pad), (0, 0)))
+    is_ll = cfg.model == "loglinear"
+    if is_ll:
+        b_p = jnp.pad(params["proj_b"].astype(jnp.float32), (0, pad))
+        tm32 = mask.astype(jnp.float32)
+
+    def body(carry, ci):
+        top_s, top_i, run_max, run_sum = carry
+        lo = ci * chunk
+        Mc = jax.lax.dynamic_slice_in_dim(M_p, lo, chunk, axis=0)  # [C, d]
+        valid = (lo + jnp.arange(chunk)) < E                       # [C]
+        if is_ll:
+            bc = jax.lax.dynamic_slice_in_dim(b_p, lo, chunk)
+            # term-level logits for the online normalizer
+            z = jnp.einsum("qtd,cd->qtc", term_emb.astype(jnp.float32), Mc) + bc
+            z = jnp.where(valid[None, None, :], z, NEG_INF)
+            m_new = jnp.maximum(run_max, jnp.max(z, axis=-1))      # [Q, T]
+            run_sum = (run_sum * jnp.exp(run_max - m_new)
+                       + jnp.sum(jnp.exp(z - m_new[:, :, None]), axis=-1))
+            run_max = m_new
+            sc = jnp.sum(z * tm32[:, :, None], axis=1)             # [Q, C]
+        else:
+            sc = jnp.dot(R.astype(jnp.float32), Mc.T,
+                         preferred_element_type=jnp.float32)       # [Q, C]
+        sc = jnp.where(valid[None, :], sc, NEG_INF)
+        cand_s = jnp.concatenate([top_s, sc], axis=1)              # [Q, K+C]
+        cand_i = jnp.concatenate(
+            [top_i, jnp.broadcast_to(lo + jnp.arange(chunk), (Q, chunk))], axis=1)
+        new_s, sel = jax.lax.top_k(cand_s, k)
+        new_i = jnp.take_along_axis(cand_i, sel, axis=1)
+        return (new_s, new_i, run_max, run_sum), None
+
+    T = term_ids.shape[1]
+    init = (jnp.full((Q, k), NEG_INF), jnp.zeros((Q, k), jnp.int32),
+            jnp.full((Q, T), NEG_INF), jnp.zeros((Q, T), jnp.float32))
+    (top_s, top_i, run_max, run_sum), _ = jax.lax.scan(
+        body, init, jnp.arange(n_chunks))
+
+    if is_ll:
+        lse_t = run_max + jnp.log(jnp.maximum(run_sum, 1e-30))     # [Q, T]
+        const = jnp.sum(lse_t * mask, axis=-1)                     # [Q]
+        top_s = top_s - const[:, None]
+    return top_s, top_i

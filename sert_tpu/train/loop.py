@@ -1,0 +1,135 @@
+"""The epoch loop: feed, step, log, snapshot, resume.
+
+Reference shape (SURVEY.md section 4.2): epoch loop over shuffled instance
+batches with async host-side batch construction and per-epoch parameter
+snapshots. Here: a PrefetchFeeder overlaps host batch prep with device
+compute, metrics stream to JSONL, and checkpoints carry the exact
+(epoch, shard, batch) cursor so resume replays nothing and skips nothing.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sert_tpu.data.feeder import PrefetchFeeder
+from sert_tpu.data.instances import InstanceDataset
+from sert_tpu.models import lse as lse_model
+from sert_tpu.train import checkpoint as ckpt
+from sert_tpu.train.step import TrainState, init_state, make_train_step
+from sert_tpu.utils.config import RecipeConfig, config_to_dict
+from sert_tpu.utils.logging import JsonlLogger, get_logger
+
+log = get_logger("train")
+
+
+def train(
+    recipe: RecipeConfig,
+    dataset: InstanceDataset,
+    out_dir: str,
+    entity_counts: Optional[np.ndarray] = None,
+    resume: bool = True,
+    put_fn: Optional[Callable] = None,
+    train_step=None,
+    init_fn: Optional[Callable[[], TrainState]] = None,
+    deterministic_feed: bool = False,
+) -> TrainState:
+    """Run (or resume) training; returns the final TrainState.
+
+    ``put_fn`` / ``train_step`` / ``init_fn`` hooks let parallel/ inject the
+    mesh-sharded variants without changing this loop.
+    """
+    mcfg, tcfg = recipe.model, recipe.train
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+
+    noise = None
+    if mcfg.model == "lse":
+        noise = lse_model.noise_logits(
+            entity_counts if mcfg.negative_distribution == "unigram" else None,
+            mcfg)
+
+    if train_step is None:
+        train_step = make_train_step(mcfg, tcfg, noise=noise)
+    if init_fn is None:
+        def init_fn():
+            return init_state(jax.random.key(tcfg.seed), mcfg, tcfg)
+
+    state = init_fn()
+    start_epoch, cursor = 0, None
+    latest = ckpt.latest_checkpoint(ckpt_dir) if resume else None
+    if latest is not None:
+        state, meta = ckpt.load_checkpoint(latest, state)
+        start_epoch = int(meta.get("epoch", 0))
+        cur = meta.get("cursor")
+        cursor = tuple(cur) if cur is not None else None
+        if cursor is not None and cursor[0] != start_epoch:
+            cursor = None
+        log.info("resumed from %s (epoch=%d cursor=%s)", latest, start_epoch, cursor)
+
+    meta_common = {
+        "recipe": config_to_dict(recipe),
+        "vocab_hash": dataset.meta.get("vocab_hash"),
+    }
+
+    jlog = JsonlLogger(os.path.join(out_dir, "train_log.jsonl"))
+    step_times = []
+    try:
+        for epoch in range(start_epoch, tcfg.num_epochs):
+            epoch_cursor = cursor if epoch == start_epoch else None
+            batches = dataset.iter_batches(tcfg.batch_size, epoch=epoch,
+                                           start_cursor=epoch_cursor)
+            feeder = PrefetchFeeder(batches, put_fn=_batch_put(put_fn),
+                                    deterministic=deterministic_feed)
+            last_cursor = epoch_cursor
+            t_last = time.perf_counter()
+            epoch_losses = []
+            for dev_batch, next_cursor in feeder:
+                state, metrics = train_step(state, dev_batch)
+                last_cursor = next_cursor
+                step_i = int(state.step)
+                if tcfg.log_every_steps and step_i % tcfg.log_every_steps == 0:
+                    loss = float(metrics["loss"])  # device sync point
+                    now = time.perf_counter()
+                    sps = tcfg.log_every_steps / max(now - t_last, 1e-9)
+                    t_last = now
+                    epoch_losses.append(loss)
+                    jlog.log("train_step", step=step_i, epoch=epoch, loss=loss,
+                             grad_norm=float(metrics["grad_norm"]),
+                             steps_per_sec=sps,
+                             instances_per_sec=sps * tcfg.batch_size)
+                if (tcfg.checkpoint_every_steps
+                        and step_i % tcfg.checkpoint_every_steps == 0):
+                    ckpt.save_checkpoint(
+                        ckpt_dir, step_i, state,
+                        {"epoch": epoch, "cursor": list(last_cursor), **meta_common})
+            # End of epoch: snapshot (reference's per-epoch dump).
+            jax.block_until_ready(state.params)
+            step_i = int(state.step)
+            ckpt.save_checkpoint(
+                ckpt_dir, step_i, state,
+                {"epoch": epoch + 1, "cursor": None, **meta_common})
+            log.info("epoch %d done at step %d (mean logged loss %.4f)",
+                     epoch, step_i,
+                     float(np.mean(epoch_losses)) if epoch_losses else float("nan"))
+            jlog.log("epoch_end", epoch=epoch, step=step_i)
+            cursor = None
+    finally:
+        jlog.close()
+    return state
+
+
+def _batch_put(put_fn: Optional[Callable]):
+    """Lift a device-put over (batch, cursor) pairs, leaving cursors on host."""
+    if put_fn is None:
+        def put_fn(b):
+            return jax.device_put({k: jnp.asarray(v) for k, v in b.items()})
+    def put(item):
+        batch, cur = item
+        return put_fn(batch), cur
+    return put

@@ -1,0 +1,86 @@
+"""The compiled train step.
+
+The reference built a Theano loss graph with adagrad/adam update rules and
+compiled it once per run (SURVEY.md section 4.2). The TPU-native equivalent:
+one pure function (params, opt_state, rng) x batch -> (new state, metrics),
+jitted with donated state so XLA updates parameters in place in HBM.
+
+The same step function is reused by the distributed path — parallel/ wraps it
+in shardings rather than rewriting it (SURVEY.md section 3.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sert_tpu.models import api
+from sert_tpu.utils.config import ModelConfig, TrainConfig
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array          # int32 scalar
+    rng: jax.Array           # PRNG key consumed for negative sampling
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """adagrad / adam / sgd — the reference's optimizer menu (SURVEY.md
+    section 3.1 'Optimizers'), plus optional global-norm clipping and
+    decoupled weight decay."""
+    if cfg.optimizer == "adam":
+        opt = optax.adam(cfg.learning_rate)
+    elif cfg.optimizer == "adagrad":
+        opt = optax.adagrad(cfg.learning_rate)
+    elif cfg.optimizer == "sgd":
+        opt = optax.sgd(cfg.learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer: {cfg.optimizer!r}")
+    chain = []
+    if cfg.grad_clip_norm > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    chain.append(opt)
+    if cfg.weight_decay > 0:
+        chain.append(optax.add_decayed_weights(-cfg.weight_decay))
+    return optax.chain(*chain) if len(chain) > 1 else chain[0]
+
+
+def init_state(rng: jax.Array, model_cfg: ModelConfig,
+               train_cfg: TrainConfig) -> TrainState:
+    k_params, k_train = jax.random.split(rng)
+    params = api.init_params(k_params, model_cfg)
+    opt = make_optimizer(train_cfg)
+    return TrainState(params=params, opt_state=opt.init(params),
+                      step=jnp.zeros((), jnp.int32), rng=k_train)
+
+
+def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                    noise: Optional[jax.Array] = None, jit: bool = True):
+    """Build the (optionally jitted) train step closure.
+
+    ``noise``: negative-sampling logits over entities (LSE only); closed over
+    as a constant so it lives on-device across steps.
+    """
+    opt = make_optimizer(train_cfg)
+
+    def step(state: TrainState, batch: Dict[str, jax.Array]
+             ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng, sub = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(api.loss_fn)(
+            state.params, batch, model_cfg, rng=sub, noise=noise)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, rng=rng)
+        metrics = {"loss": loss,
+                   "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    if not jit:
+        return step
+    donate = (0,) if train_cfg.donate_state else ()
+    return jax.jit(step, donate_argnums=donate)

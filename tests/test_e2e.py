@@ -1,0 +1,57 @@
+"""End-to-end on synthetic planted-signal data (SURVEY.md section 5, item 4):
+a correctly built pipeline must reach near-perfect NDCG@100."""
+
+import os
+
+import pytest
+
+from sert_tpu import pipeline, recipes
+
+
+class TestEndToEnd:
+    def test_loglinear_planted_ndcg(self, tmp_path):
+        col = recipes.tiny_spec(seed=0).build()
+        recipe = recipes.tiny_recipe("loglinear")
+        results = pipeline.run_end_to_end(col, recipe, str(tmp_path))
+        agg = results["all"]
+        assert agg["ndcg@100"] > 0.95, agg
+        assert agg["recip_rank"] > 0.9, agg
+        # artifacts on disk
+        assert os.path.exists(tmp_path / "run" / "run.trec")
+        assert os.path.exists(tmp_path / "run" / "qrels.trec")
+        assert os.path.exists(tmp_path / "run" / "train_log.jsonl")
+        assert os.path.exists(tmp_path / "run" / "recipe.json")
+
+    def test_lse_planted_ndcg(self, tmp_path):
+        col = recipes.tiny_spec(seed=1).build()
+        recipe = recipes.tiny_recipe("lse", negative_distribution="unigram")
+        results = pipeline.run_end_to_end(col, recipe, str(tmp_path))
+        agg = results["all"]
+        assert agg["ndcg@100"] > 0.85, agg
+
+    def test_scorer_reload_from_checkpoint(self, tmp_path):
+        """Query-side loads a chosen snapshot (reference behavior) and
+        reproduces the same run."""
+        col = recipes.tiny_spec(seed=0).build()
+        recipe = recipes.tiny_recipe("loglinear")
+        pipeline.run_end_to_end(col, recipe, str(tmp_path))
+
+        data_dir = str(tmp_path / "data")
+        run_dir = str(tmp_path / "run")
+        from sert_tpu.data.instances import InstanceDataset
+        ds = InstanceDataset(data_dir)
+        resolved = pipeline.resolve_model_config(recipe, ds.meta)
+        params, vocab, registry = pipeline.load_scorer(run_dir, data_dir,
+                                                       resolved)
+        from sert_tpu.data.prepare import encode_queries
+        from sert_tpu.scoring.run import score_topics
+        from sert_tpu.eval.trec import read_run
+        encoded = encode_queries(col.topics, vocab, recipe.data)
+        run = score_topics(params, resolved.model, encoded, registry.names,
+                           resolved.score)
+        on_disk = read_run(os.path.join(run_dir, "run.trec"))
+        for qid, entries in on_disk.items():
+            got = dict(run[qid])
+            for name, score in entries[:5]:
+                assert name in got
+                assert got[name] == pytest.approx(score, abs=1e-4)

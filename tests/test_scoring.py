@@ -1,0 +1,132 @@
+"""Scoring engine tests: dense vs numpy, streaming vs dense equivalence
+(SURVEY.md section 8 hard part 2: top-k merge bugs look like tiny NDCG dips,
+so the streaming engine is held to exact agreement with the dense path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sert_tpu.models import api, numpy_ref
+from sert_tpu.scoring.run import pad_queries, score_topics
+from sert_tpu.scoring.scorer import dense_scores, streaming_topk
+from sert_tpu.utils.config import ModelConfig, ScoreConfig
+
+CFG_LL = ModelConfig(model="loglinear", vocab_size=60, num_entities=37,
+                     word_dim=9)
+CFG_LSE = ModelConfig(model="lse", vocab_size=60, num_entities=37,
+                      word_dim=9, entity_dim=8)
+
+
+def _queries(rng, Q=5, T=4, V=60):
+    term_ids = rng.integers(0, V, size=(Q, T)).astype(np.int32)
+    num_terms = rng.integers(1, T + 1, size=Q).astype(np.int32)
+    for i in range(Q):
+        term_ids[i, num_terms[i]:] = 0
+    return jnp.asarray(term_ids), jnp.asarray(num_terms)
+
+
+class TestDense:
+    def test_loglinear_matches_numpy_logprobs(self):
+        rng = np.random.default_rng(0)
+        params = api.init_params(jax.random.key(0), CFG_LL)
+        term_ids, num_terms = _queries(rng)
+        scores = np.asarray(dense_scores(params, CFG_LL, term_ids, num_terms))
+        npp = {k: np.asarray(v) for k, v in params.items()}
+        for qi in range(term_ids.shape[0]):
+            ids = np.asarray(term_ids[qi, :int(num_terms[qi])])
+            want = numpy_ref.loglinear_query_scores(npp, ids)
+            np.testing.assert_allclose(scores[qi], want, rtol=1e-4, atol=1e-5)
+
+    def test_lse_matches_query_scores(self):
+        rng = np.random.default_rng(1)
+        params = api.init_params(jax.random.key(1), CFG_LSE)
+        term_ids, num_terms = _queries(rng)
+        for sim in ("dot", "cosine"):
+            scores = np.asarray(dense_scores(params, CFG_LSE, term_ids,
+                                             num_terms, similarity=sim))
+            from sert_tpu.models import lse
+            for qi in range(term_ids.shape[0]):
+                want = np.asarray(lse.query_scores(
+                    params, term_ids[qi], num_terms[qi], CFG_LSE, sim))
+                np.testing.assert_allclose(scores[qi], want, rtol=1e-4,
+                                           atol=1e-5)
+
+
+class TestStreaming:
+    @pytest.mark.parametrize("cfg", [CFG_LL, CFG_LSE], ids=["loglinear", "lse"])
+    @pytest.mark.parametrize("chunk", [8, 16, 64])
+    def test_streaming_equals_dense_topk(self, cfg, chunk):
+        """Exact score AND index agreement for every chunking, including
+        chunk sizes that don't divide E=37 (padding correctness)."""
+        rng = np.random.default_rng(2)
+        params = api.init_params(jax.random.key(2), cfg)
+        term_ids, num_terms = _queries(rng)
+        k = 10
+        dense = np.asarray(dense_scores(params, cfg, term_ids, num_terms))
+        want_idx = np.argsort(-dense, axis=1, kind="stable")[:, :k]
+        want_s = np.take_along_axis(dense, want_idx, axis=1)
+        got_s, got_i = streaming_topk(params, cfg, term_ids, num_terms,
+                                      k=k, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(got_s), want_s, rtol=1e-4,
+                                   atol=1e-5)
+        # Indices may differ only where scores tie; check score-match instead
+        got_from_dense = np.take_along_axis(dense, np.asarray(got_i), axis=1)
+        np.testing.assert_allclose(got_from_dense, want_s, rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_k_larger_than_entities_clamped(self):
+        params = api.init_params(jax.random.key(3), CFG_LSE)
+        term_ids, num_terms = _queries(np.random.default_rng(3), Q=2)
+        s, i = streaming_topk(params, CFG_LSE, term_ids, num_terms,
+                              k=500, chunk=16)
+        assert s.shape == (2, 37)
+        assert int(np.max(np.asarray(i))) < 37
+
+    def test_zero_term_query_finite(self):
+        params = api.init_params(jax.random.key(4), CFG_LL)
+        term_ids = jnp.zeros((1, 4), jnp.int32)
+        num_terms = jnp.zeros((1,), jnp.int32)
+        s, _ = streaming_topk(params, CFG_LL, term_ids, num_terms, k=5, chunk=16)
+        assert np.isfinite(np.asarray(s)).all()
+
+
+class TestRunGlue:
+    def test_pad_queries(self):
+        qids, t, m = pad_queries({"b": [1, 2], "a": [3]}, max_terms=4)
+        assert qids == ["a", "b"]
+        np.testing.assert_array_equal(t[0], [3, 0, 0, 0])
+        np.testing.assert_array_equal(m, [1, 2])
+
+    def test_truncation(self):
+        _, t, m = pad_queries({"q": list(range(30))}, max_terms=8)
+        assert m[0] == 8 and t.shape == (1, 8)
+
+    @pytest.mark.parametrize("chunked", [False, True])
+    def test_score_topics_run_format(self, chunked):
+        params = api.init_params(jax.random.key(5), CFG_LSE)
+        names = [f"e{i}" for i in range(37)]
+        topics = {"q1": [1, 2, 3], "q2": [4], "q_oov": []}
+        sc = ScoreConfig(top_k=5, entity_chunk=(16 if chunked else 1 << 20),
+                         query_batch=2)
+        run = score_topics(params, CFG_LSE, topics, names, sc)
+        assert set(run) == {"q1", "q2", "q_oov"}
+        assert run["q_oov"] == []
+        assert len(run["q1"]) == 5
+        scores = [s for _, s in run["q1"]]
+        assert scores == sorted(scores, reverse=True)
+        assert all(n in names for n, _ in run["q1"])
+
+    def test_dense_and_chunked_agree_through_glue(self):
+        params = api.init_params(jax.random.key(6), CFG_LL)
+        names = [f"e{i}" for i in range(37)]
+        topics = {"q1": [5, 6], "q2": [7, 8, 9]}
+        run_d = score_topics(params, CFG_LL, topics, names,
+                             ScoreConfig(top_k=7, entity_chunk=1 << 20))
+        run_c = score_topics(params, CFG_LL, topics, names,
+                             ScoreConfig(top_k=7, entity_chunk=16))
+        for qid in topics:
+            assert [n for n, _ in run_d[qid]] == [n for n, _ in run_c[qid]]
+            np.testing.assert_allclose([s for _, s in run_d[qid]],
+                                       [s for _, s in run_c[qid]],
+                                       rtol=1e-4, atol=1e-5)

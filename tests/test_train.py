@@ -1,0 +1,171 @@
+"""Training driver tests: step semantics, checkpoint/resume exactness."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sert_tpu.data import Associations, EntityRegistry, InstanceDataset
+from sert_tpu.data.prepare import prepare
+from sert_tpu.data.synthetic import make_synthetic
+from sert_tpu.train import checkpoint as ckpt
+from sert_tpu.train.loop import train
+from sert_tpu.train.step import init_state, make_optimizer, make_train_step
+from sert_tpu.utils.config import (DataConfig, ModelConfig, RecipeConfig,
+                                   TrainConfig)
+
+MCFG = ModelConfig(model="loglinear", vocab_size=50, num_entities=7, word_dim=8)
+TCFG = TrainConfig(batch_size=16, num_epochs=2, learning_rate=1e-2,
+                   log_every_steps=2, donate_state=False)
+
+
+def _batch(rng, B=16):
+    return {"windows": rng.integers(0, 50, size=(B, 4)).astype(np.int32),
+            "lengths": np.full(B, 4, np.int32),
+            "entities": rng.integers(0, 7, size=B).astype(np.int32)}
+
+
+def _prepared_dataset(tmp_path, seed=0):
+    col = make_synthetic(num_entities=7, vocab_size=200, docs_per_entity=4,
+                         doc_len=50, num_topics=4, seed=seed)
+    reg = EntityRegistry(col.entities)
+    assoc = Associations()
+    for d, es in col.doc_entities.items():
+        for e in es:
+            assoc.add(d, reg.id(e))
+    d = str(tmp_path / "data")
+    meta = prepare(col.docs, assoc, reg, d,
+                   DataConfig(window_size=4, vocab_min_count=1))
+    return InstanceDataset(d), meta
+
+
+class TestStep:
+    def test_loss_decreases(self):
+        rng = np.random.default_rng(0)
+        state = init_state(jax.random.key(0), MCFG, TCFG)
+        step = make_train_step(MCFG, TCFG)
+        batch = _batch(rng)
+        first = None
+        for _ in range(30):
+            state, m = step(state, batch)
+            if first is None:
+                first = float(m["loss"])
+        assert float(m["loss"]) < first
+        assert int(state.step) == 30
+
+    def test_optimizers(self):
+        for name in ("adam", "adagrad", "sgd"):
+            opt = make_optimizer(TrainConfig(optimizer=name))
+            params = {"w": jnp.ones((3,))}
+            s = opt.init(params)
+            u, _ = opt.update({"w": jnp.ones((3,))}, s, params)
+            assert np.all(np.isfinite(np.asarray(u["w"])))
+        with pytest.raises(ValueError):
+            make_optimizer(TrainConfig(optimizer="nope"))
+
+    def test_grad_clip_and_decay_compose(self):
+        opt = make_optimizer(TrainConfig(grad_clip_norm=1.0, weight_decay=0.01))
+        params = {"w": jnp.ones((4,))}
+        s = opt.init(params)
+        u, _ = opt.update({"w": 100.0 * jnp.ones((4,))}, s, params)
+        assert np.all(np.isfinite(np.asarray(u["w"])))
+
+    def test_lse_step_consumes_rng(self):
+        mcfg = ModelConfig(model="lse", vocab_size=50, num_entities=7,
+                           word_dim=8, entity_dim=8, num_negatives=3)
+        state = init_state(jax.random.key(0), mcfg, TCFG)
+        step = make_train_step(mcfg, TCFG)
+        batch = _batch(np.random.default_rng(1))
+        s1, m1 = step(state, batch)
+        assert not np.array_equal(np.asarray(jax.random.key_data(s1.rng)),
+                                  np.asarray(jax.random.key_data(state.rng)))
+        assert np.isfinite(float(m1["loss"]))
+
+
+class TestCheckpoint:
+    def test_roundtrip_exact(self, tmp_path):
+        state = init_state(jax.random.key(3), MCFG, TCFG)
+        p = ckpt.save_checkpoint(str(tmp_path), 17, state, {"epoch": 1})
+        template = init_state(jax.random.key(99), MCFG, TCFG)  # different values
+        restored, meta = ckpt.load_checkpoint(p, template)
+        assert meta["step"] == 17 and meta["epoch"] == 1
+        for a, b in zip(jax.tree_util.tree_leaves(state),
+                        jax.tree_util.tree_leaves(restored)):
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jax.dtypes.prng_key):
+                a, b = jax.random.key_data(a), jax.random.key_data(b)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_latest_and_list(self, tmp_path):
+        state = init_state(jax.random.key(0), MCFG, TCFG)
+        for s in (5, 20, 11):
+            ckpt.save_checkpoint(str(tmp_path), s, state)
+        assert ckpt.latest_checkpoint(str(tmp_path)).endswith("ckpt-00000020.npz")
+        assert list(ckpt.list_checkpoints(str(tmp_path))) == [5, 11, 20]
+        assert ckpt.latest_checkpoint(str(tmp_path / "nope")) is None
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        state = init_state(jax.random.key(0), MCFG, TCFG)
+        p = ckpt.save_checkpoint(str(tmp_path), 1, state)
+        bad_template = init_state(
+            jax.random.key(0), MCFG.replace(num_entities=9), TCFG)
+        with pytest.raises(ValueError):
+            ckpt.load_checkpoint(p, bad_template)
+
+
+class TestLoop:
+    def test_train_and_resume_exact(self, tmp_path):
+        """Interrupted training resumed from checkpoint must produce params
+        bit-identical to an uninterrupted run (SURVEY.md section 6)."""
+        ds, _ = _prepared_dataset(tmp_path)
+        recipe = RecipeConfig(name="t", model=MCFG, train=TCFG)
+
+        out_a = str(tmp_path / "a")
+        full = train(recipe, ds, out_a, deterministic_feed=True)
+
+        # Interrupted: stop mid-epoch-0 via checkpoint_every_steps, new dir.
+        out_b = str(tmp_path / "b")
+        tcfg_b = TCFG
+        recipe_b = RecipeConfig(name="t", model=MCFG,
+                                train=tcfg_b)
+        n_total = ds.num_batches_per_epoch(TCFG.batch_size) * TCFG.num_epochs
+
+        class StopAfter(Exception):
+            pass
+
+        base_step = make_train_step(MCFG, TCFG)
+        calls = {"n": 0}
+        stop_at = max(2, n_total // 3)
+
+        def limited_step(state, batch):
+            if calls["n"] >= stop_at:
+                raise StopAfter()
+            calls["n"] += 1
+            return base_step(state, batch)
+
+        recipe_ckpt = RecipeConfig(
+            name="t", model=MCFG,
+            train=TCFG.__class__(**{**TCFG.__dict__, "checkpoint_every_steps": 1,
+                                    "donate_state": False}))
+        try:
+            train(recipe_ckpt, ds, out_b, train_step=limited_step,
+                  deterministic_feed=True)
+        except StopAfter:
+            pass
+        # Resume with the normal step to completion.
+        resumed = train(recipe_ckpt, ds, out_b, deterministic_feed=True)
+
+        for a, b in zip(jax.tree_util.tree_leaves(full.params),
+                        jax.tree_util.tree_leaves(resumed.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=0)
+        assert os.path.exists(os.path.join(out_a, "train_log.jsonl"))
+
+    def test_epoch_snapshots_written(self, tmp_path):
+        ds, _ = _prepared_dataset(tmp_path)
+        recipe = RecipeConfig(name="t", model=MCFG, train=TCFG)
+        out = str(tmp_path / "run")
+        train(recipe, ds, out, deterministic_feed=True)
+        cks = ckpt.list_checkpoints(os.path.join(out, "checkpoints"))
+        assert len(cks) == TCFG.num_epochs

@@ -1,0 +1,36 @@
+"""Driver benchmark: prints ONE JSON line.
+
+Metric: entities scored per second per chip on the streaming top-k engine
+(1M-entity LSE matrix, 256 queries, k=100) — the BASELINE.json headline.
+``vs_baseline`` is the ratio against the self-measured CPU baseline stored
+in benchmarks/cpu_baseline.json (the reference never published throughput;
+see BASELINE.md). Target per BASELINE.json: >= 10x.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from benchmarks.score_bench import measure_entities_per_sec
+
+    r = measure_entities_per_sec(num_entities=1_000_000, iters=5)
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "benchmarks", "cpu_baseline.json")
+    with open(baseline_path) as fh:
+        cpu = json.load(fh)["entities_per_sec"]
+
+    print(json.dumps({
+        "metric": "entities_scored_per_sec_per_chip",
+        "value": round(r["entities_per_sec"], 1),
+        "unit": "entities/sec",
+        "vs_baseline": round(r["entities_per_sec"] / cpu, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Sharded training: the single-device step compiled over the mesh.
+
+GSPMD approach: the pure step function from sert_tpu.train.step is jitted
+with NamedSharding in/out specs; XLA partitions the full-softmax matmul over
+the ``model`` axis (inserting the log-sum-exp psum) and the batch over
+``data`` (inserting the gradient all-reduce). No manual collectives in the
+training path — that is the TPU-native replacement for the NCCL/MPI plumbing
+a torch port would have carried (SURVEY.md section 6, comm backend row).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sert_tpu.parallel.sharding import state_shardings
+from sert_tpu.train.step import TrainState, init_state, make_train_step
+from sert_tpu.utils.config import ModelConfig, TrainConfig
+
+
+def make_sharded_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                            mesh: Mesh, noise=None):
+    """Returns (train_step, init_fn, put_fn) with mesh shardings applied."""
+    step = make_train_step(model_cfg, train_cfg, noise=noise, jit=False)
+
+    def host_init() -> TrainState:
+        return init_state(jax.random.key(train_cfg.seed), model_cfg, train_cfg)
+
+    state_shapes = jax.eval_shape(host_init)
+    st_sh = state_shardings(state_shapes, mesh, model_cfg)
+    batch_sh = {
+        "windows": NamedSharding(mesh, P("data", None)),
+        "lengths": NamedSharding(mesh, P("data")),
+        "entities": NamedSharding(mesh, P("data")),
+    }
+    metrics_sh = {"loss": NamedSharding(mesh, P()),
+                  "grad_norm": NamedSharding(mesh, P())}
+
+    sharded_step = jax.jit(
+        step,
+        in_shardings=(st_sh, batch_sh),
+        out_shardings=(st_sh, metrics_sh),
+        donate_argnums=(0,) if train_cfg.donate_state else (),
+    )
+
+    init_fn = jax.jit(host_init, out_shardings=st_sh)
+
+    def put_fn(batch):
+        import jax.numpy as jnp
+        return {k: jax.device_put(jnp.asarray(v), batch_sh[k])
+                for k, v in batch.items()}
+
+    return sharded_step, init_fn, put_fn

@@ -74,39 +74,37 @@ def dense_scores(params, cfg: ModelConfig, term_ids: jax.Array,
     return scores
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "k", "chunk", "similarity"))
-def streaming_topk(params, cfg: ModelConfig, term_ids: jax.Array,
-                   num_terms: jax.Array, k: int = 100, chunk: int = 32768,
-                   similarity: str = "dot"
-                   ) -> Tuple[jax.Array, jax.Array]:
-    """Top-k entity (scores [Q,k], indices [Q,k]) at O(Q*chunk) memory.
+def chunked_topk_core(R: jax.Array, term_emb: Optional[jax.Array],
+                      mask: jax.Array, M: jax.Array,
+                      bias: Optional[jax.Array], k: int, chunk: int,
+                      is_ll: bool, vary_axes: Tuple[str, ...] = ()
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """The streaming sweep over an (arbitrary) entity-matrix block ``M``.
 
-    Scans the entity matrix in ``chunk``-row blocks; each step is one MXU
-    matmul plus a top-k merge of the running best against the block. The
-    log-linear normalizer accumulates online (streaming logsumexp) and is
-    applied after the scan — identical scores to :func:`dense_scores`.
+    Returns UN-normalized (top_s [Q,k], top_i [Q,k] local row indices,
+    run_max [Q,T], run_sum [Q,T]) — the caller applies the log-linear
+    normalizer (locally for single-device, after a psum-combine for the
+    sharded path). ``k`` entries are always emitted; if M has fewer than k
+    rows the tail is NEG_INF-padded (it loses any later merge).
+
+    Shared verbatim by streaming_topk and parallel.topk: the distributed
+    engine is this core per shard plus a merge (SURVEY.md section 6,
+    distributed scoring row).
     """
-    E = api.entity_matrix(params, cfg).shape[0]
-    k = min(k, E)
-    R, term_emb, mask = _query_reps_and_terms(params, cfg, term_ids,
-                                              num_terms, similarity)
-    M = _entity_matrix(params, cfg, similarity)
-    Q = R.shape[0]
-
-    n_chunks = -(-E // chunk)
-    pad = n_chunks * chunk - E
+    E_rows = M.shape[0]
+    Q, T = mask.shape
+    n_chunks = max(-(-E_rows // chunk), 1)
+    pad = n_chunks * chunk - E_rows
     M_p = jnp.pad(M, ((0, pad), (0, 0)))
-    is_ll = cfg.model == "loglinear"
     if is_ll:
-        b_p = jnp.pad(params["proj_b"].astype(jnp.float32), (0, pad))
+        b_p = jnp.pad(bias.astype(jnp.float32), (0, pad))
         tm32 = mask.astype(jnp.float32)
 
     def body(carry, ci):
         top_s, top_i, run_max, run_sum = carry
         lo = ci * chunk
         Mc = jax.lax.dynamic_slice_in_dim(M_p, lo, chunk, axis=0)  # [C, d]
-        valid = (lo + jnp.arange(chunk)) < E                       # [C]
+        valid = (lo + jnp.arange(chunk)) < E_rows                  # [C]
         if is_ll:
             bc = jax.lax.dynamic_slice_in_dim(b_p, lo, chunk)
             # term-level logits for the online normalizer
@@ -128,14 +126,47 @@ def streaming_topk(params, cfg: ModelConfig, term_ids: jax.Array,
         new_i = jnp.take_along_axis(cand_i, sel, axis=1)
         return (new_s, new_i, run_max, run_sum), None
 
-    T = term_ids.shape[1]
     init = (jnp.full((Q, k), NEG_INF), jnp.zeros((Q, k), jnp.int32),
             jnp.full((Q, T), NEG_INF), jnp.zeros((Q, T), jnp.float32))
+    if vary_axes:
+        # Under shard_map the body output varies over the mesh axes (it reads
+        # sharded M), so the carry init must be marked varying too.
+        init = tuple(jax.lax.pvary(x, vary_axes) for x in init)
     (top_s, top_i, run_max, run_sum), _ = jax.lax.scan(
         body, init, jnp.arange(n_chunks))
+    return top_s, top_i, run_max, run_sum
 
+
+def apply_ll_normalizer(top_s: jax.Array, run_max: jax.Array,
+                        run_sum: jax.Array, mask: jax.Array) -> jax.Array:
+    """Fold the accumulated per-term logsumexp into final log-prob scores."""
+    lse_t = run_max + jnp.log(jnp.maximum(run_sum, 1e-30))         # [Q, T]
+    const = jnp.sum(lse_t * mask.astype(jnp.float32), axis=-1)     # [Q]
+    return top_s - const[:, None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "k", "chunk", "similarity"))
+def streaming_topk(params, cfg: ModelConfig, term_ids: jax.Array,
+                   num_terms: jax.Array, k: int = 100, chunk: int = 32768,
+                   similarity: str = "dot"
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Top-k entity (scores [Q,k], indices [Q,k]) at O(Q*chunk) memory.
+
+    Scans the entity matrix in ``chunk``-row blocks; each step is one MXU
+    matmul plus a top-k merge of the running best against the block. The
+    log-linear normalizer accumulates online (streaming logsumexp) and is
+    applied after the scan — identical scores to :func:`dense_scores`.
+    """
+    E = api.entity_matrix(params, cfg).shape[0]
+    k = min(k, E)
+    R, term_emb, mask = _query_reps_and_terms(params, cfg, term_ids,
+                                              num_terms, similarity)
+    M = _entity_matrix(params, cfg, similarity)
+    is_ll = cfg.model == "loglinear"
+    bias = params["proj_b"] if is_ll else None
+    top_s, top_i, run_max, run_sum = chunked_topk_core(
+        R, term_emb, mask, M, bias, k, chunk, is_ll)
     if is_ll:
-        lse_t = run_max + jnp.log(jnp.maximum(run_sum, 1e-30))     # [Q, T]
-        const = jnp.sum(lse_t * mask, axis=-1)                     # [Q]
-        top_s = top_s - const[:, None]
+        top_s = apply_ll_normalizer(top_s, run_max, run_sum, mask)
     return top_s, top_i

@@ -1,0 +1,147 @@
+"""Sharding equivalence tests on the 8-virtual-device CPU mesh
+(SURVEY.md section 5, item 3): N-device results must match 1-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sert_tpu.models import api
+from sert_tpu.parallel.mesh import make_mesh
+from sert_tpu.parallel.sharding import shard_state, state_shardings
+from sert_tpu.parallel.topk import distributed_topk
+from sert_tpu.parallel.train import make_sharded_train_step
+from sert_tpu.scoring.scorer import streaming_topk
+from sert_tpu.train.step import init_state, make_train_step
+from sert_tpu.utils.config import ModelConfig, TrainConfig
+
+CFG_LL = ModelConfig(model="loglinear", vocab_size=50, num_entities=40,
+                     word_dim=8)
+CFG_LSE = ModelConfig(model="lse", vocab_size=50, num_entities=40,
+                      word_dim=8, entity_dim=8, num_negatives=4)
+TCFG = TrainConfig(batch_size=16, learning_rate=1e-2, donate_state=False)
+
+
+def _batch(rng, B=16, V=50, E=40):
+    return {"windows": rng.integers(0, V, size=(B, 5)).astype(np.int32),
+            "lengths": np.full(B, 5, np.int32),
+            "entities": rng.integers(0, E, size=B).astype(np.int32)}
+
+
+def _queries(rng, Q=4, T=3, V=50):
+    t = rng.integers(0, V, size=(Q, T)).astype(np.int32)
+    m = rng.integers(1, T + 1, size=Q).astype(np.int32)
+    return jnp.asarray(t), jnp.asarray(m)
+
+
+class TestMesh:
+    def test_shapes(self):
+        m = make_mesh((2, 4))
+        assert m.shape == {"data": 2, "model": 4}
+
+    def test_infer(self):
+        m = make_mesh((-1, 4))
+        assert m.shape["data"] == 2
+        with pytest.raises(ValueError):
+            make_mesh((4, 4))
+
+
+class TestShardingRules:
+    def test_entity_axis_sharded(self):
+        mesh = make_mesh((2, 4))
+        state = init_state(jax.random.key(0), CFG_LL, TCFG)
+        sh = state_shardings(state, mesh, CFG_LL)
+        assert sh.params["proj_w"].spec == jax.sharding.PartitionSpec(None, "model")
+        assert sh.params["proj_b"].spec == jax.sharding.PartitionSpec("model")
+        assert sh.params["word_emb"].spec == jax.sharding.PartitionSpec(None, None)
+
+    def test_lse_entity_emb_row_sharded(self):
+        mesh = make_mesh((2, 4))
+        state = init_state(jax.random.key(0), CFG_LSE, TCFG)
+        sh = state_shardings(state, mesh, CFG_LSE)
+        assert sh.params["entity_emb"].spec == jax.sharding.PartitionSpec("model", None)
+
+    def test_ambiguous_sizes_rejected(self):
+        mesh = make_mesh((1, 1))
+        cfg = CFG_LL.replace(vocab_size=40)  # == num_entities
+        state = init_state(jax.random.key(0), cfg, TCFG)
+        with pytest.raises(ValueError):
+            state_shardings(state, mesh, cfg)
+
+
+class TestShardedTraining:
+    @pytest.mark.parametrize("cfg", [CFG_LL,
+                                     CFG_LSE.replace(model="lse_full"),
+                                     CFG_LSE],
+                             ids=["loglinear", "lse_full", "lse"])
+    def test_sharded_step_matches_single_device(self, cfg):
+        """Identical params after 5 steps on a (2,4) mesh vs 1 device."""
+        rng = np.random.default_rng(0)
+        batches = [_batch(rng) for _ in range(5)]
+
+        ref_state = init_state(jax.random.key(TCFG.seed), cfg, TCFG)
+        ref_step = make_train_step(cfg, TCFG, noise=(
+            jnp.zeros((cfg.num_entities,), jnp.float32)
+            if cfg.model == "lse" else None))
+        for b in batches:
+            ref_state, ref_metrics = ref_step(ref_state, b)
+
+        mesh = make_mesh((2, 4))
+        noise = (jnp.zeros((cfg.num_entities,), jnp.float32)
+                 if cfg.model == "lse" else None)
+        step, init_fn, put_fn = make_sharded_train_step(cfg, TCFG, mesh, noise)
+        state = init_fn()
+        for b in batches:
+            state, metrics = step(state, put_fn(b))
+
+        for key in ref_state.params:
+            np.testing.assert_allclose(
+                np.asarray(jax.device_get(state.params[key])),
+                np.asarray(ref_state.params[key]), rtol=2e-4, atol=2e-5,
+                err_msg=key)
+        assert float(metrics["loss"]) == pytest.approx(
+            float(ref_metrics["loss"]), rel=2e-4)
+
+    def test_data_only_mesh(self):
+        mesh = make_mesh((8, 1))
+        step, init_fn, put_fn = make_sharded_train_step(CFG_LL, TCFG, mesh)
+        state = init_fn()
+        state, m = step(state, put_fn(_batch(np.random.default_rng(1))))
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestDistributedTopk:
+    @pytest.mark.parametrize("cfg", [CFG_LL, CFG_LSE], ids=["loglinear", "lse"])
+    @pytest.mark.parametrize("merge", ["allgather", "ring"])
+    def test_matches_single_device(self, cfg, merge):
+        mesh = make_mesh((2, 4))
+        params = api.init_params(jax.random.key(7), cfg)
+        term_ids, num_terms = _queries(np.random.default_rng(7))
+        want_s, want_i = streaming_topk(params, cfg, term_ids, num_terms,
+                                        k=8, chunk=16)
+        got_s, got_i = distributed_topk(params, cfg, term_ids, num_terms,
+                                        mesh, k=8, chunk=8, merge=merge)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+    def test_uneven_shard_rejected(self):
+        mesh = make_mesh((1, 8))
+        cfg = CFG_LSE.replace(num_entities=42)
+        params = api.init_params(jax.random.key(0), cfg)
+        term_ids, num_terms = _queries(np.random.default_rng(0), Q=8)
+        with pytest.raises(ValueError):
+            distributed_topk(params, cfg, term_ids, num_terms, mesh, k=4)
+
+    def test_sharded_params_stay_sharded(self):
+        """distributed_topk accepts params already placed on the mesh."""
+        mesh = make_mesh((2, 4))
+        state = init_state(jax.random.key(1), CFG_LSE, TCFG)
+        sharded = shard_state(state, mesh, CFG_LSE)
+        term_ids, num_terms = _queries(np.random.default_rng(1))
+        s, i = distributed_topk(sharded.params, CFG_LSE, term_ids, num_terms,
+                                mesh, k=8, chunk=8)
+        want_s, _ = streaming_topk(state.params, CFG_LSE, term_ids, num_terms,
+                                   k=8, chunk=16)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
+                                   rtol=1e-4, atol=1e-5)

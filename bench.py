@@ -17,7 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     from benchmarks.score_bench import measure_entities_per_sec
 
-    r = measure_entities_per_sec(num_entities=1_000_000, iters=5)
+    # 25 sweeps per timed jit call amortizes the ~24 ms tunnel-dispatch RTT
+    # (see benchmarks/NOTES.md) without inflating compile time.
+    r = measure_entities_per_sec(num_entities=1_000_000, iters=5,
+                                 sweeps_per_iter=25)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "benchmarks", "cpu_baseline.json")

@@ -26,14 +26,24 @@ def measure_entities_per_sec(
     k: int = 100,
     chunk: int = 1 << 15,
     iters: int = 5,
+    sweeps_per_iter: int = 10,
     model: str = "lse",
     seed: int = 0,
+    engine: str = "auto",   # "pallas" | "streaming" | "auto"
 ) -> Dict[str, float]:
+    """Timing honesty notes (benchmarks/NOTES.md): on the tunneled axon
+    platform block_until_ready does NOT wait for execution, and each
+    dispatch pays ~24 ms RTT — so sweeps run inside ONE jit (lax.scan, with
+    per-sweep-varying queries) and a scalar is fetched to host to fence."""
     import jax
     import jax.numpy as jnp
     from sert_tpu.models import api
-    from sert_tpu.scoring.scorer import streaming_topk
+    from sert_tpu.scoring.scorer import (_entity_matrix, pallas_topk,
+                                         streaming_topk)
     from sert_tpu.utils.config import ModelConfig
+
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "streaming"
 
     cfg = ModelConfig(model=model, vocab_size=vocab,
                       num_entities=num_entities, word_dim=dim, entity_dim=dim)
@@ -43,17 +53,35 @@ def measure_entities_per_sec(
         rng.integers(0, vocab, size=(num_queries, num_terms)).astype(np.int32))
     num_terms_arr = jnp.asarray(np.full(num_queries, num_terms, np.int32))
 
-    def run():
-        s, i = streaming_topk(params, cfg, term_ids, num_terms_arr,
-                              k=k, chunk=chunk)
-        jax.block_until_ready((s, i))
-        return s, i
+    prep = None
+    if engine == "pallas":
+        from sert_tpu.ops.exact_topk import prepare_entities
+        prep = prepare_entities(_entity_matrix(params, cfg, "dot"))
 
-    run()  # compile + warm caches
-    t0 = time.perf_counter()
+    n_sweep = sweeps_per_iter
+
+    @jax.jit
+    def run_sweeps(params, term_ids, num_terms_arr, prep):
+        def body(c, o):
+            tids = jnp.where(term_ids + o < vocab, term_ids + o, term_ids)
+            if engine == "pallas":
+                s, i = pallas_topk(params, cfg, tids, num_terms_arr, k=k,
+                                   prep=prep)
+            else:
+                s, i = streaming_topk(params, cfg, tids, num_terms_arr,
+                                      k=k, chunk=chunk)
+            return c + s[0, 0] + jnp.float32(i[0, 0]), None
+        out, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(n_sweep, dtype=jnp.int32))
+        return out
+
+    float(run_sweeps(params, term_ids, num_terms_arr, prep))  # compile
+    times = []
     for _ in range(iters):
-        run()
-    dt = (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        float(run_sweeps(params, term_ids, num_terms_arr, prep))  # host fence
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / n_sweep
 
     scored = num_queries * num_entities
     return {
@@ -61,6 +89,7 @@ def measure_entities_per_sec(
         "sec_per_batch": dt,
         "num_entities": num_entities,
         "num_queries": num_queries,
+        "engine": engine,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }

@@ -1,0 +1,135 @@
+"""Exact top-k via bin-max prefilter + gather-rescore.
+
+Algorithm (k-th value = theta, assuming no score ties at theta):
+  1. bins = score_binmax(R, M, ...)            # [Q, E/128], Pallas-fused
+  2. Every bin containing a true top-k element has bin-max >= theta, and at
+     most k bins have max >= theta (each such bin contributes >= 1 element
+     >= theta, of which there are exactly k). Hence the top-k bins BY MAX
+     contain every true top-k element.
+  3. Take top (k + pad) bins (pad covers the possibly-inflated partial tail
+     bin and boundary ties), gather ONLY those bins' entity vectors, rescore
+     exactly (fp32), and run one small top-k over [Q, (k+pad)*128].
+
+Cost: one matmul-bound Pallas sweep + one top-k over E/128 bins + one
+gather of (k+pad)*128 rows/query — measured ~20x faster end-to-end than
+XLA's TopK over the full score row at E=1M (benchmarks/NOTES.md).
+
+Tie caveat: if MORE than ``pad`` bins tie exactly at theta beyond the k-th,
+an element could be missed; with continuous scores this has measure zero,
+and duplicate entity vectors (exact ties) can only be missed in favor of an
+equal-scoring duplicate — the returned SCORES are still exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sert_tpu.ops.score_binmax import (LANES, _pad_to, prepare_binmax_matrix,
+                                       score_binmax_prepared)
+
+
+class PreparedEntities(NamedTuple):
+    """Entity matrix staged for repeated exact_topk sweeps: the bf16-padded
+    binmax operand plus the bin-major rescore view, both device-resident.
+    Registered as a pytree with the sizes as STATIC aux data so jit treats
+    them as compile-time constants."""
+    Mp: jax.Array        # [Ep, dp] bf16, padded for the Pallas sweep
+    M_binned: jax.Array  # [n_bins, 128, d] rescore-dtype, bin-contiguous
+    num_entities: int
+    dim: int
+
+
+jax.tree_util.register_pytree_node(
+    PreparedEntities,
+    lambda p: ((p.Mp, p.M_binned), (p.num_entities, p.dim)),
+    lambda aux, ch: PreparedEntities(ch[0], ch[1], aux[0], aux[1]),
+)
+
+
+def prepare_entities(M: jax.Array, te: int = 2048,
+                     rescore_dtype: str = "float32") -> PreparedEntities:
+    E, d = M.shape
+    rdt = jnp.bfloat16 if rescore_dtype == "bfloat16" else jnp.float32
+    M_binned = _pad_to(M.astype(rdt), 0, LANES).reshape(-1, LANES, d)
+    return PreparedEntities(prepare_binmax_matrix(M, te=te), M_binned, E, d)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "pad_bins", "tq", "te",
+                                             "interpret", "fused_rescore"))
+def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
+                        bias: Optional[jax.Array] = None,
+                        alpha: Optional[jax.Array] = None,
+                        k: int = 100, pad_bins: int = 8,
+                        tq: int = 256, te: int = 2048,
+                        interpret: Optional[bool] = None,
+                        fused_rescore: bool = True,
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """(scores [Q, k], entity indices [Q, k]) of R @ M^T (+ alpha*bias).
+
+    Performance notes (measured on TPU v5 lite, E=1M, Q=256, k=100, see
+    benchmarks/NOTES.md): the default rescore is the fused Pallas
+    gather_rescore kernel (candidate vectors never reach HBM; ~4x faster
+    than the best XLA gather). ``fused_rescore=False`` falls back to an XLA
+    bin-row gather with promise_in_bounds + optimization_barrier (itself
+    ~8x faster than a naive per-entity gather). The entity matrix must be
+    staged ONCE via prepare_entities — re-casting 512MB per call costs more
+    than the sweep.
+    """
+    from sert_tpu.ops.gather_rescore import QB, gather_rescore
+
+    Q, d = R.shape
+    E = prep.num_entities
+    k = min(k, E)
+
+    bins = score_binmax_prepared(R, prep.Mp, E, bias, alpha,
+                                 tq=tq, te=te, interpret=interpret)
+    nb_total = bins.shape[1]
+    nb = min(k + pad_bins, nb_total)
+
+    _, bin_idx = jax.lax.top_k(bins, nb)                     # [Q, nb]
+    ent_idx = (bin_idx[:, :, None] * LANES
+               + jnp.arange(LANES)[None, None, :]).reshape(Q, nb * LANES)
+    valid = ent_idx < E
+
+    if fused_rescore:
+        q_pad = (-Q) % QB
+        Rp = jnp.pad(R, ((0, q_pad), (0, 0)))
+        ip = jnp.pad(bin_idx, ((0, q_pad), (0, 0)))
+        sc = gather_rescore(Rp, prep.M_binned, ip,
+                            interpret=interpret)[:Q]         # [Q, nb*128]
+    else:
+        safe_idx = jax.lax.optimization_barrier(bin_idx)
+        Mg = prep.M_binned.at[safe_idx].get(
+            mode="promise_in_bounds")                        # [Q, nb, 128, d]
+        Mg = Mg.reshape(Q, nb * LANES, d)
+        sc = jnp.einsum("qd,qnd->qn", R.astype(Mg.dtype), Mg,
+                        preferred_element_type=jnp.float32)
+
+    if bias is not None:
+        a = (alpha if alpha is not None
+             else jnp.ones((Q,), jnp.float32))[:, None]
+        ent_safe = jnp.minimum(ent_idx, E - 1)
+        sc = sc + a * bias.astype(jnp.float32)[ent_safe]
+    sc = jnp.where(valid, sc, -jnp.inf)
+
+    top_s, sel = jax.lax.top_k(sc, k)
+    top_i = jnp.take_along_axis(ent_idx, sel, axis=1)
+    return top_s, top_i
+
+
+def exact_topk(R: jax.Array, M: jax.Array,
+               bias: Optional[jax.Array] = None,
+               alpha: Optional[jax.Array] = None,
+               k: int = 100, pad_bins: int = 8,
+               tq: int = 256, te: int = 2048,
+               interpret: Optional[bool] = None,
+               rescore_dtype: str = "float32",
+               ) -> Tuple[jax.Array, jax.Array]:
+    """One-shot convenience: prepare_entities + exact_topk_prepared."""
+    prep = prepare_entities(M, te=te, rescore_dtype=rescore_dtype)
+    return exact_topk_prepared(R, prep, bias, alpha, k=k, pad_bins=pad_bins,
+                               tq=tq, te=te, interpret=interpret)

@@ -1,0 +1,85 @@
+"""Fused candidate gather + rescore Pallas kernel.
+
+After the bin prefilter picks NB candidate bins per query, the scores of
+those bins' entities must be recomputed exactly. XLA's gather materializes
+the gathered vectors ([Q, NB*128, d] — 1.8GB at the benchmark shape) and
+round-trips them through HBM (~15 ms measured). This kernel instead uses
+PrefetchScalarGridSpec: the bin indices are scalar-prefetched, each grid
+step DMAs the needed bin rows of M straight into VMEM via the BlockSpec
+index_map, computes the [128] scores on the MXU, and writes only the scores
+(14MB) — the gathered matrix never exists in HBM.
+
+Grid: (Q/QB, NB); each step rescores one bin for QB=8 queries (each query
+needs its own bin, so the M operand appears QB times with per-row index
+maps). Output is bins-major [NB, Q, 128] to satisfy Mosaic block tiling.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+QB = 8  # queries per grid step
+
+
+def _kernel(idx_ref, r_ref, *refs, qb, lanes, d):
+    # refs = (m_0, ..., m_{qb-1}, o_ref)
+    m_refs, o_ref = refs[:-1], refs[-1]
+    r_block = r_ref[:].astype(jnp.float32)              # [QB, d]
+    rows = []
+    for r in range(qb):
+        mrow = m_refs[r][0].astype(jnp.float32)         # [128, d]
+        rows.append(jnp.dot(mrow, r_block[r, :],
+                            preferred_element_type=jnp.float32))   # [128]
+    o_ref[0] = jnp.stack(rows, axis=0)                  # [QB, 128]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_rescore(R: jax.Array, M_binned: jax.Array, bin_idx: jax.Array,
+                   interpret: Optional[bool] = None) -> jax.Array:
+    """[Q, NB*128] exact scores of the selected bins.
+
+    R [Q, d] (Q must be a multiple of 8; pad upstream), M_binned
+    [n_bins, 128, d] (from ops.exact_topk.prepare_entities), bin_idx [Q, NB]
+    int32 in [0, n_bins).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Q, d = R.shape
+    NB = bin_idx.shape[1]
+    assert Q % QB == 0, f"Q={Q} must be a multiple of {QB}"
+
+    grid = (Q // QB, NB)
+
+    def m_spec(r):
+        return pl.BlockSpec((1, LANES, d),
+                            lambda i, j, idx: (idx[i * QB + r, j], 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((QB, d), lambda i, j, idx: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *[m_spec(r) for r in range(QB)],
+        ],
+        out_specs=pl.BlockSpec((1, QB, LANES), lambda i, j, idx: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, qb=QB, lanes=LANES, d=d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NB, Q, LANES), jnp.float32),
+        interpret=interpret,
+    )(bin_idx, R.astype(M_binned.dtype), *([M_binned] * QB))
+
+    # [NB, Q, 128] -> [Q, NB*128]
+    return jnp.moveaxis(out, 0, 1).reshape(Q, NB * LANES)

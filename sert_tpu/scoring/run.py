@@ -14,7 +14,8 @@ from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from sert_tpu.scoring.scorer import dense_scores, streaming_topk
+from sert_tpu.scoring.scorer import (_entity_matrix, dense_scores,
+                                     pallas_topk, streaming_topk)
 from sert_tpu.utils.config import ModelConfig, ScoreConfig
 
 
@@ -47,6 +48,11 @@ def score_topics(
     E = len(entity_names)
     run: Dict[str, List[Tuple[str, float]]] = {qid: [] for qid in qids}
 
+    prep = None
+    if sc.use_pallas:
+        from sert_tpu.ops.exact_topk import prepare_entities
+        prep = prepare_entities(_entity_matrix(params, cfg, sc.similarity))
+
     B = sc.query_batch
     for lo in range(0, len(qids), B):
         hi = min(lo + B, len(qids))
@@ -56,7 +62,12 @@ def score_topics(
         m = np.zeros((B,), np.int32)
         t[:n], m[:n] = term_ids[lo:hi], num_terms[lo:hi]
 
-        if sc.entity_chunk >= E:
+        if sc.use_pallas:
+            top_s, idx = pallas_topk(params, cfg, jnp.asarray(t),
+                                     jnp.asarray(m), k=min(sc.top_k, E),
+                                     similarity=sc.similarity, prep=prep)
+            top_s, idx = np.asarray(top_s), np.asarray(idx)
+        elif sc.entity_chunk >= E:
             scores = np.asarray(dense_scores(
                 params, cfg, jnp.asarray(t), jnp.asarray(m),
                 similarity=sc.similarity))

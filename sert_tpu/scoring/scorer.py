@@ -145,6 +145,74 @@ def apply_ll_normalizer(top_s: jax.Array, run_max: jax.Array,
     return top_s - const[:, None]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk", "similarity"))
+def ll_log_normalizer(params, cfg: ModelConfig, term_ids: jax.Array,
+                      num_terms: jax.Array, chunk: int = 1 << 16,
+                      similarity: str = "dot") -> jax.Array:
+    """[Q] log-linear normalization constants sum_t logsumexp_c(z_tc),
+    via a matmul-bound chunked scan (no top-k). Used by the Pallas fast
+    path, whose prefilter ranks by un-normalized sums."""
+    R, term_emb, mask = _query_reps_and_terms(params, cfg, term_ids,
+                                              num_terms, similarity)
+    M = _entity_matrix(params, cfg, similarity)
+    b = params["proj_b"].astype(jnp.float32)
+    E = M.shape[0]
+    n_chunks = -(-E // chunk)
+    pad = n_chunks * chunk - E
+    M_p = jnp.pad(M, ((0, pad), (0, 0)))
+    b_p = jnp.pad(b, (0, pad))
+    Q, T = mask.shape
+
+    def body(carry, ci):
+        run_max, run_sum = carry
+        lo = ci * chunk
+        Mc = jax.lax.dynamic_slice_in_dim(M_p, lo, chunk, axis=0)
+        bc = jax.lax.dynamic_slice_in_dim(b_p, lo, chunk)
+        z = jnp.einsum("qtd,cd->qtc", term_emb.astype(jnp.float32), Mc) + bc
+        z = jnp.where(((lo + jnp.arange(chunk)) < E)[None, None, :], z, NEG_INF)
+        m_new = jnp.maximum(run_max, jnp.max(z, axis=-1))
+        run_sum = (run_sum * jnp.exp(run_max - m_new)
+                   + jnp.sum(jnp.exp(z - m_new[:, :, None]), axis=-1))
+        return (m_new, run_sum), None
+
+    init = (jnp.full((Q, T), NEG_INF), jnp.zeros((Q, T), jnp.float32))
+    (run_max, run_sum), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    lse_t = run_max + jnp.log(jnp.maximum(run_sum, 1e-30))
+    return jnp.sum(lse_t * mask.astype(jnp.float32), axis=-1)
+
+
+def pallas_topk(params, cfg: ModelConfig, term_ids: jax.Array,
+                num_terms: jax.Array, k: int = 100,
+                similarity: str = "dot", prep=None,
+                normalize: bool = True) -> Tuple[jax.Array, jax.Array]:
+    """Top-k via the fused Pallas engine (ops.exact_topk).
+
+    For log-linear the prefilter ranks by the rank-equivalent un-normalized
+    sum of logits (alpha = |q| scales the entity bias); the exact log-prob
+    constant is restored afterwards with one matmul-bound normalizer scan
+    (``normalize=False`` skips it — rankings are unaffected).
+
+    ``prep``: pass ops.exact_topk.prepare_entities(entity_matrix) to reuse
+    the staged matrix across query batches (score_topics does).
+    """
+    from sert_tpu.ops.exact_topk import exact_topk_prepared, prepare_entities
+
+    R, term_emb, mask = _query_reps_and_terms(params, cfg, term_ids,
+                                              num_terms, similarity)
+    if prep is None:
+        prep = prepare_entities(_entity_matrix(params, cfg, similarity))
+    is_ll = cfg.model == "loglinear"
+    bias = params["proj_b"].astype(jnp.float32) if is_ll else None
+    alpha = num_terms.astype(jnp.float32) if is_ll else None
+    top_s, top_i = exact_topk_prepared(R.astype(jnp.float32), prep,
+                                       bias=bias, alpha=alpha, k=k)
+    if is_ll and normalize:
+        const = ll_log_normalizer(params, cfg, term_ids, num_terms,
+                                  similarity=similarity)
+        top_s = top_s - const[:, None]
+    return top_s, top_i
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "k", "chunk", "similarity"))
 def streaming_topk(params, cfg: ModelConfig, term_ids: jax.Array,

@@ -91,6 +91,37 @@ class TestStreaming:
         assert np.isfinite(np.asarray(s)).all()
 
 
+class TestPallasEngine:
+    @pytest.mark.parametrize("cfg", [CFG_LL, CFG_LSE], ids=["loglinear", "lse"])
+    def test_pallas_topk_matches_streaming(self, cfg):
+        from sert_tpu.scoring.scorer import pallas_topk
+        rng = np.random.default_rng(11)
+        params = api.init_params(jax.random.key(11), cfg)
+        term_ids, num_terms = _queries(rng, Q=5)
+        want_s, want_i = streaming_topk(params, cfg, term_ids, num_terms,
+                                        k=9, chunk=16)
+        got_s, got_i = pallas_topk(params, cfg, term_ids, num_terms, k=9)
+        # prefilter is bf16 so compare by dense scores at the returned idx
+        dense = np.asarray(dense_scores(params, cfg, term_ids, num_terms))
+        got_sc = np.take_along_axis(dense, np.asarray(got_i), axis=1)
+        np.testing.assert_allclose(np.asarray(got_s), got_sc,
+                                   rtol=1e-3, atol=2e-2)
+        want_sc = np.take_along_axis(dense, np.asarray(want_i), axis=1)
+        np.testing.assert_allclose(np.sort(got_sc), np.sort(want_sc),
+                                   rtol=1e-3, atol=5e-2)
+
+    def test_score_topics_pallas_matches_dense(self):
+        params = api.init_params(jax.random.key(12), CFG_LSE)
+        names = [f"e{i}" for i in range(37)]
+        topics = {"q1": [5, 6], "q2": [7, 8, 9]}
+        run_d = score_topics(params, CFG_LSE, topics, names,
+                             ScoreConfig(top_k=7, entity_chunk=1 << 20))
+        run_p = score_topics(params, CFG_LSE, topics, names,
+                             ScoreConfig(top_k=7, use_pallas=True))
+        for qid in topics:
+            assert [n for n, _ in run_d[qid]] == [n for n, _ in run_p[qid]]
+
+
 class TestRunGlue:
     def test_pad_queries(self):
         qids, t, m = pad_queries({"b": [1, 2], "a": [3]}, max_terms=4)

@@ -74,18 +74,53 @@ def prepare(
         seed=cfg.seed,
     )
     n_docs_used = 0
-    for doc_id, text in docs.items():
-        ents = assoc.entities_for(doc_id)
-        if not ents:
-            continue
-        token_ids = vocab.encode(_tok(text, cfg))
-        if native is not None:
-            w, l, e = native.extract_windows(token_ids, ents, cfg.window_size, cfg.stride)
-        else:
-            w, l, e = extract_windows(token_ids, ents, cfg.window_size, cfg.stride)
-        if w.shape[0]:
-            writer.add(w, l, e)
+    if native is not None:
+        # Batched native sweep: encode documents into one concatenated
+        # buffer per BATCH_DOCS docs, then one C++ call per batch.
+        import numpy as np
+        BATCH_DOCS = 512
+        buf_tok, buf_ent, doc_off, ent_off = [], [], [0], [0]
+
+        def flush():
+            nonlocal buf_tok, buf_ent, doc_off, ent_off
+            if len(doc_off) <= 1:
+                return
+            w, l, e = native.extract_windows_batch(
+                np.concatenate(buf_tok) if buf_tok else np.zeros(0, np.int32),
+                np.asarray(doc_off, np.int64),
+                np.concatenate(buf_ent) if buf_ent else np.zeros(0, np.int32),
+                np.asarray(ent_off, np.int64),
+                cfg.window_size, cfg.stride)
+            if w.shape[0]:
+                writer.add(w, l, e)
+            buf_tok, buf_ent, doc_off, ent_off = [], [], [0], [0]
+
+        for doc_id, text in docs.items():
+            ents = assoc.entities_for(doc_id)
+            if not ents:
+                continue
+            token_ids = vocab.encode(_tok(text, cfg))
+            if not token_ids:
+                continue
+            buf_tok.append(np.asarray(token_ids, np.int32))
+            buf_ent.append(np.asarray(ents, np.int32))
+            doc_off.append(doc_off[-1] + len(token_ids))
+            ent_off.append(ent_off[-1] + len(ents))
             n_docs_used += 1
+            if len(doc_off) > BATCH_DOCS:
+                flush()
+        flush()
+    else:
+        for doc_id, text in docs.items():
+            ents = assoc.entities_for(doc_id)
+            if not ents:
+                continue
+            token_ids = vocab.encode(_tok(text, cfg))
+            w, l, e = extract_windows(token_ids, ents, cfg.window_size,
+                                      cfg.stride)
+            if w.shape[0]:
+                writer.add(w, l, e)
+                n_docs_used += 1
 
     meta = writer.finalize(extra_meta={
         "vocab_size": len(vocab),

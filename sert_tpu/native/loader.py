@@ -33,6 +33,17 @@ class _NativeWindows:
             ctypes.POINTER(ctypes.c_int32),                   # out lengths
             ctypes.POINTER(ctypes.c_int32),                   # out entities
         ]
+        self._lib.sert_batch_instance_count.restype = ctypes.c_int64
+        self._lib.sert_batch_instance_count.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        self._lib.sert_extract_windows_batch.restype = None
+        self._lib.sert_extract_windows_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
 
     def extract_windows(
         self,
@@ -60,6 +71,40 @@ class _NativeWindows:
                 entities.ctypes.data_as(i32p),
             )
         return windows, lengths, entities
+
+
+    def extract_windows_batch(
+        self,
+        tokens: np.ndarray, doc_offsets: np.ndarray,
+        entities: np.ndarray, ent_offsets: np.ndarray,
+        window_size: int, stride: int = 1,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Sweep many concatenated documents in one native call.
+
+        tokens int32[sum_tok], doc_offsets int64[n_docs+1], entities
+        int32[sum_ent], ent_offsets int64[n_docs+1].
+        """
+        tokens = np.ascontiguousarray(tokens, np.int32)
+        doc_offsets = np.ascontiguousarray(doc_offsets, np.int64)
+        entities = np.ascontiguousarray(entities, np.int32)
+        ent_offsets = np.ascontiguousarray(ent_offsets, np.int64)
+        n_docs = doc_offsets.shape[0] - 1
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        total = int(self._lib.sert_batch_instance_count(
+            doc_offsets.ctypes.data_as(i64p), ent_offsets.ctypes.data_as(i64p),
+            n_docs, window_size, stride))
+        windows = np.zeros((total, window_size), np.int32)
+        lengths = np.empty((total,), np.int32)
+        ents = np.empty((total,), np.int32)
+        if total:
+            self._lib.sert_extract_windows_batch(
+                tokens.ctypes.data_as(i32p), doc_offsets.ctypes.data_as(i64p),
+                entities.ctypes.data_as(i32p), ent_offsets.ctypes.data_as(i64p),
+                n_docs, window_size, stride,
+                windows.ctypes.data_as(i32p), lengths.ctypes.data_as(i32p),
+                ents.ctypes.data_as(i32p))
+        return windows, lengths, ents
 
 
 def lib_path() -> str:

@@ -1,0 +1,115 @@
+"""Native C++ window sweep: build (if toolchain present) + parity vs numpy.
+
+The .so is built on demand into sert_tpu/native/ — the repo stays
+source-only. If g++ is unavailable the tests skip (the numpy path is the
+reference and always tested in test_data.py).
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from sert_tpu.data.windows import extract_windows
+from sert_tpu.native import loader
+
+
+@pytest.fixture(scope="module")
+def native():
+    if loader.maybe_load() is None:
+        if shutil.which("g++") is None:
+            pytest.skip("no g++ available")
+        build = os.path.join(os.path.dirname(loader.lib_path()), "build.sh")
+        subprocess.run(["sh", build], check=True, capture_output=True)
+        loader._load_attempted = False  # retry after build
+        loader._cached = None
+    lib = loader.maybe_load()
+    if lib is None:
+        pytest.skip("native lib failed to load")
+    return lib
+
+
+CASES = [
+    (list(range(10)), [3], 4, 1),
+    (list(range(10)), [3, 7], 4, 2),
+    ([5, 6], [1, 2], 4, 1),           # short doc -> padded
+    ([], [1], 4, 1),                  # empty doc
+    (list(range(100)), [], 5, 1),     # no entities
+    (list(range(257)), [0, 1, 2], 8, 3),
+]
+
+
+class TestNativeParity:
+    @pytest.mark.parametrize("tokens,ents,w,stride", CASES)
+    def test_matches_numpy(self, native, tokens, ents, w, stride):
+        got = native.extract_windows(tokens, ents, w, stride)
+        want = extract_windows(tokens, ents, w, stride)
+        for g, x in zip(got, want):
+            np.testing.assert_array_equal(g, x)
+
+    def test_random_fuzz(self, native):
+        rng = np.random.default_rng(0)
+        for _ in range(50):
+            n_tok = int(rng.integers(0, 60))
+            n_ent = int(rng.integers(0, 4))
+            w = int(rng.integers(2, 12))
+            stride = int(rng.integers(1, 4))
+            tokens = rng.integers(0, 1000, size=n_tok).tolist()
+            ents = rng.integers(0, 50, size=n_ent).tolist()
+            got = native.extract_windows(tokens, ents, w, stride)
+            want = extract_windows(tokens, ents, w, stride)
+            for g, x in zip(got, want):
+                np.testing.assert_array_equal(g, x)
+
+    def test_batch_matches_per_doc(self, native):
+        rng = np.random.default_rng(1)
+        docs, ents_per_doc = [], []
+        for _ in range(20):
+            docs.append(rng.integers(0, 500, size=int(rng.integers(0, 40))))
+            ents_per_doc.append(rng.integers(0, 30, size=int(rng.integers(0, 3))))
+        tokens = np.concatenate([d for d in docs]) if docs else np.zeros(0, np.int32)
+        doc_off = np.cumsum([0] + [len(d) for d in docs]).astype(np.int64)
+        ents = (np.concatenate([e for e in ents_per_doc])
+                if ents_per_doc else np.zeros(0, np.int32))
+        ent_off = np.cumsum([0] + [len(e) for e in ents_per_doc]).astype(np.int64)
+
+        got_w, got_l, got_e = native.extract_windows_batch(
+            tokens, doc_off, ents, ent_off, window_size=6, stride=2)
+
+        parts = [extract_windows(d.tolist(), e.tolist(), 6, 2)
+                 for d, e in zip(docs, ents_per_doc)]
+        want_w = np.concatenate([p[0] for p in parts])
+        want_l = np.concatenate([p[1] for p in parts])
+        want_e = np.concatenate([p[2] for p in parts])
+        np.testing.assert_array_equal(got_w, want_w)
+        np.testing.assert_array_equal(got_l, want_l)
+        np.testing.assert_array_equal(got_e, want_e)
+
+    def test_prepare_uses_native(self, native, tmp_path):
+        """prepare(use_native=True) must produce byte-identical shards to the
+        numpy path."""
+        from sert_tpu.data import Associations, EntityRegistry, InstanceDataset
+        from sert_tpu.data.prepare import prepare
+        from sert_tpu.data.synthetic import make_synthetic
+        from sert_tpu.utils.config import DataConfig
+
+        col = make_synthetic(num_entities=6, vocab_size=200, docs_per_entity=3,
+                             doc_len=30, num_topics=3, seed=2)
+        reg = EntityRegistry(col.entities)
+        assoc = Associations()
+        for d, es in col.doc_entities.items():
+            for e in es:
+                assoc.add(d, reg.id(e))
+        cfg = DataConfig(window_size=5, vocab_min_count=1)
+        d1, d2 = str(tmp_path / "native"), str(tmp_path / "numpy")
+        prepare(col.docs, assoc, reg, d1, cfg, use_native=True)
+        prepare(col.docs, assoc, reg, d2, cfg, use_native=False)
+        a = InstanceDataset(d1)
+        b = InstanceDataset(d2)
+        assert a.meta["num_instances"] == b.meta["num_instances"]
+        ba, _ = next(a.iter_batches(32, epoch=0))
+        bb, _ = next(b.iter_batches(32, epoch=0))
+        np.testing.assert_array_equal(ba["windows"], bb["windows"])
+        np.testing.assert_array_equal(ba["entities"], bb["entities"])

@@ -101,9 +101,17 @@ def loss(params: Params, batch, cfg: ModelConfig, rng: jax.Array = None,
 def loss_full_softmax(params: Params, batch, cfg: ModelConfig,
                       rng: jax.Array = None) -> jax.Array:
     """Full-softmax cross-entropy over all entities (small-scale cross-check
-    for the sampled objective; also usable as a trainable mode)."""
+    for the sampled objective; also usable as a trainable mode). Routes
+    through the fused Pallas kernel under the same policy as loglinear."""
     del rng
+    from sert_tpu.models.loglinear import _use_fused
     reps = window_rep(params, batch["windows"], batch["lengths"], cfg)
+    if _use_fused(cfg):
+        from sert_tpu.ops.xent import xent_loss
+        zeros_b = jnp.zeros((cfg.num_entities,), jnp.float32)
+        total = xent_loss(reps.astype(jnp.float32), params["entity_emb"],
+                          zeros_b, batch["entities"], "ed")
+        return total / batch["windows"].shape[0]
     ct = compute_dtype(cfg)
     z = jnp.dot(reps.astype(ct), params["entity_emb"].astype(ct).T,
                 preferred_element_type=jnp.float32)                     # [B, E]

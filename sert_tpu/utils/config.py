@@ -47,6 +47,9 @@ class ModelConfig:
     # Numerics:
     compute_dtype: str = "float32"  # "float32" | "bfloat16" (MXU-friendly)
     param_dtype: str = "float32"
+    # Fused Pallas softmax-CE over the entity axis (ops/xent.py):
+    # "auto" = on TPU when num_entities >= 4096; "on" | "off" force it.
+    fused_softmax: str = "auto"
 
     def replace(self, **kw: Any) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

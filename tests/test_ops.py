@@ -107,3 +107,57 @@ class TestExactTopk:
         assert s.shape == (8, 200)
         # every entity present exactly once
         assert (np.sort(np.asarray(i), axis=1) == np.arange(200)).all()
+
+
+class TestFusedXent:
+    def _ref(self, pooled, W, b, labels, layout):
+        z = (pooled @ W if layout == "de" else pooled @ W.T) + b
+        lse = jax.scipy.special.logsumexp(z, axis=-1)
+        gold = jnp.take_along_axis(z, labels[:, None], axis=1)[:, 0]
+        return jnp.sum(lse - gold)
+
+    @pytest.mark.parametrize("layout", ["de", "ed"])
+    @pytest.mark.parametrize("B,d,E", [(20, 24, 300), (8, 128, 256)])
+    def test_loss_and_grads_match_xla(self, layout, B, d, E):
+        from sert_tpu.ops.xent import xent_loss
+        rng = np.random.default_rng(B + E)
+        pooled = jnp.asarray(rng.normal(size=(B, d)).astype(np.float32))
+        Wde = jnp.asarray(rng.normal(size=(d, E)).astype(np.float32) * 0.3)
+        W = Wde if layout == "de" else Wde.T
+        b = jnp.asarray(rng.normal(size=(E,)).astype(np.float32) * 0.1)
+        labels = jnp.asarray(rng.integers(0, E, size=B).astype(np.int32))
+        f = lambda p, W, b: xent_loss(p, W, b, labels, layout, 8, 128)
+        r = lambda p, W, b: self._ref(p, W, b, labels, layout)
+        assert float(f(pooled, W, b)) == pytest.approx(
+            float(r(pooled, W, b)), rel=1e-5)
+        gf = jax.grad(f, argnums=(0, 1, 2))(pooled, W, b)
+        gr = jax.grad(r, argnums=(0, 1, 2))(pooled, W, b)
+        for a, c in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_model_losses_match_unfused(self):
+        """loglinear + lse_full with fused_softmax='on' equal the XLA path,
+        values and gradients."""
+        from sert_tpu.models import api
+        from sert_tpu.utils.config import ModelConfig
+        rng = np.random.default_rng(3)
+        batch = {"windows": rng.integers(0, 50, size=(16, 5)).astype(np.int32),
+                 "lengths": np.full(16, 5, np.int32),
+                 "entities": rng.integers(0, 33, size=16).astype(np.int32)}
+        for model in ("loglinear", "lse_full"):
+            base = ModelConfig(model=model, vocab_size=50, num_entities=33,
+                               word_dim=8, entity_dim=8)
+            params = api.init_params(jax.random.key(1), base)
+            on = base.replace(fused_softmax="on")
+            off = base.replace(fused_softmax="off")
+            l_on = float(api.loss_fn(params, batch, on))
+            l_off = float(api.loss_fn(params, batch, off))
+            assert l_on == pytest.approx(l_off, rel=1e-5), model
+            g_on = jax.grad(api.loss_fn)(params, batch, on)
+            g_off = jax.grad(api.loss_fn)(params, batch, off)
+            for key in g_on:
+                np.testing.assert_allclose(np.asarray(g_on[key]),
+                                           np.asarray(g_off[key]),
+                                           rtol=1e-3, atol=1e-5,
+                                           err_msg=f"{model}/{key}")

@@ -40,6 +40,12 @@ def _kernel(idx_ref, r_ref, *refs, qb, lanes, d):
     o_ref[0] = jnp.stack(rows, axis=0)                  # [QB, 128]
 
 
+# The bin-index table is scalar-prefetched into SMEM (~1MB total); chunk
+# the NB axis so one call never exceeds this budget (Q=256, k=1000 would
+# otherwise need exactly 1.008MB and OOM).
+_SMEM_IDX_BUDGET = 1 << 18  # bytes of bin_idx per pallas_call
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gather_rescore(R: jax.Array, M_binned: jax.Array, bin_idx: jax.Array,
                    interpret: Optional[bool] = None) -> jax.Array:
@@ -49,6 +55,21 @@ def gather_rescore(R: jax.Array, M_binned: jax.Array, bin_idx: jax.Array,
     [n_bins, 128, d] (from ops.exact_topk.prepare_entities), bin_idx [Q, NB]
     int32 in [0, n_bins).
     """
+    Q = R.shape[0]
+    NB = bin_idx.shape[1]
+    nb_chunk = max(_SMEM_IDX_BUDGET // (4 * Q), 1)
+    if NB > nb_chunk:
+        parts = [
+            _gather_rescore_one(R, M_binned, bin_idx[:, lo:lo + nb_chunk],
+                                interpret=interpret)
+            for lo in range(0, NB, nb_chunk)
+        ]
+        return jnp.concatenate(parts, axis=1)
+    return _gather_rescore_one(R, M_binned, bin_idx, interpret=interpret)
+
+
+def _gather_rescore_one(R: jax.Array, M_binned: jax.Array, bin_idx: jax.Array,
+                        interpret: Optional[bool] = None) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     Q, d = R.shape

@@ -54,6 +54,24 @@ def train(
             entity_counts if mcfg.negative_distribution == "unigram" else None,
             mcfg)
 
+    # Mesh training: recipe.train.mesh_shape > (1,1) builds the sharded
+    # step over a ("data", "model") mesh (sert_tpu.parallel); with fewer
+    # devices than the mesh asks for, fall back to single-device with a
+    # warning — recipes stay runnable on one chip.
+    mesh_size = tcfg.mesh_shape[0] * tcfg.mesh_shape[1]
+    if train_step is None and mesh_size > 1:
+        if mesh_size <= jax.device_count():
+            from sert_tpu.parallel.mesh import make_mesh
+            from sert_tpu.parallel.train import make_sharded_train_step
+            mesh = make_mesh(tcfg.mesh_shape)
+            train_step, init_fn, put_fn = make_sharded_train_step(
+                mcfg, tcfg, mesh, noise=noise)
+            log.info("training on mesh %s", dict(mesh.shape))
+        else:
+            log.warning("mesh %s needs %d devices, have %d; running "
+                        "single-device", tcfg.mesh_shape, mesh_size,
+                        jax.device_count())
+
     if train_step is None:
         train_step = make_train_step(mcfg, tcfg, noise=noise)
     if init_fn is None:
@@ -61,10 +79,17 @@ def train(
             return init_state(jax.random.key(tcfg.seed), mcfg, tcfg)
 
     state = init_fn()
+    state_template = state
     start_epoch, cursor = 0, None
     latest = ckpt.latest_checkpoint(ckpt_dir) if resume else None
     if latest is not None:
         state, meta = ckpt.load_checkpoint(latest, state)
+        # Restore the mesh placement the init template had (checkpoints are
+        # host-gathered; a sharded step needs sharded inputs back).
+        state = jax.tree.map(
+            lambda t, x: (jax.device_put(x, t.sharding)
+                          if hasattr(t, "sharding") else x),
+            state_template, state)
         start_epoch = int(meta.get("epoch", 0))
         cur = meta.get("cursor")
         cursor = tuple(cur) if cur is not None else None

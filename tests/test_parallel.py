@@ -110,6 +110,80 @@ class TestShardedTraining:
         assert np.isfinite(float(m["loss"]))
 
 
+class TestMeshTrainLoop:
+    def test_loop_uses_mesh_and_matches_single_device(self, tmp_path):
+        """A recipe with mesh_shape=(2,4) trained by the SAME loop must give
+        params equal to the single-device run (and resume must re-place
+        host-loaded checkpoints onto the mesh)."""
+        from sert_tpu.data import Associations, EntityRegistry, InstanceDataset
+        from sert_tpu.data.prepare import prepare
+        from sert_tpu.data.synthetic import make_synthetic
+        from sert_tpu.train.loop import train
+        from sert_tpu.utils.config import DataConfig, RecipeConfig
+
+        col = make_synthetic(num_entities=8, vocab_size=400, docs_per_entity=3,
+                             doc_len=40, num_topics=2, seed=9)
+        reg = EntityRegistry(col.entities)
+        assoc = Associations()
+        for d, es in col.doc_entities.items():
+            for e in es:
+                assoc.add(d, reg.id(e))
+        ddir = str(tmp_path / "d")
+        prepare(col.docs, assoc, reg, ddir, DataConfig(window_size=4,
+                                                       vocab_min_count=1))
+        ds = InstanceDataset(ddir)
+        mcfg = ModelConfig(model="loglinear", vocab_size=ds.meta["vocab_size"],
+                           num_entities=8, word_dim=8)
+        base = TrainConfig(batch_size=16, num_epochs=2, learning_rate=1e-2,
+                           donate_state=False, log_every_steps=0)
+
+        r1 = RecipeConfig(name="s", model=mcfg, train=base)
+        s1 = train(r1, ds, str(tmp_path / "single"), deterministic_feed=True)
+
+        import dataclasses
+        r8 = RecipeConfig(name="m", model=mcfg,
+                          train=dataclasses.replace(base, mesh_shape=(2, 4)))
+        s8 = train(r8, ds, str(tmp_path / "mesh"), deterministic_feed=True)
+        for key in s1.params:
+            np.testing.assert_allclose(
+                np.asarray(jax.device_get(s8.params[key])),
+                np.asarray(s1.params[key]), rtol=2e-4, atol=2e-5)
+
+        # resume on the mesh: re-running is a no-op that must load cleanly
+        s8b = train(r8, ds, str(tmp_path / "mesh"), deterministic_feed=True)
+        for key in s1.params:
+            np.testing.assert_array_equal(
+                np.asarray(jax.device_get(s8b.params[key])),
+                np.asarray(jax.device_get(s8.params[key])))
+
+    def test_oversized_mesh_falls_back(self, tmp_path, caplog):
+        from sert_tpu.data import Associations, EntityRegistry, InstanceDataset
+        from sert_tpu.data.prepare import prepare
+        from sert_tpu.data.synthetic import make_synthetic
+        from sert_tpu.train.loop import train
+        from sert_tpu.utils.config import DataConfig, RecipeConfig
+        import dataclasses
+
+        col = make_synthetic(num_entities=4, vocab_size=300, docs_per_entity=2,
+                             doc_len=30, num_topics=2, seed=10)
+        reg = EntityRegistry(col.entities)
+        assoc = Associations()
+        for d, es in col.doc_entities.items():
+            for e in es:
+                assoc.add(d, reg.id(e))
+        ddir = str(tmp_path / "d")
+        prepare(col.docs, assoc, reg, ddir, DataConfig(window_size=4,
+                                                       vocab_min_count=1))
+        ds = InstanceDataset(ddir)
+        mcfg = ModelConfig(model="loglinear", vocab_size=ds.meta["vocab_size"],
+                           num_entities=4, word_dim=4)
+        tcfg = TrainConfig(batch_size=8, num_epochs=1, mesh_shape=(64, 1),
+                           donate_state=False, log_every_steps=0)
+        state = train(RecipeConfig(name="f", model=mcfg, train=tcfg), ds,
+                      str(tmp_path / "o"), deterministic_feed=True)
+        assert int(state.step) > 0  # ran single-device instead of crashing
+
+
 class TestDistributedTopk:
     @pytest.mark.parametrize("cfg", [CFG_LL, CFG_LSE], ids=["loglinear", "lse"])
     @pytest.mark.parametrize("merge", ["allgather", "ring"])

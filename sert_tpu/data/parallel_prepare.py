@@ -1,0 +1,79 @@
+"""Multiprocessing tokenize/encode for the prepare pipeline.
+
+The reference overlapped batch construction with compute via
+multiprocessing workers (SURVEY.md section 4.2). In this framework the
+training-side feed is already covered by pre-serialized shards + the
+threaded prefetch feeder; the remaining Python-bound hot loop is corpus
+tokenization during prepare. This module fans it out over a process pool
+with DETERMINISTIC output order (ordered imap), so parallel and serial
+prepares produce byte-identical artifacts.
+
+Workers hold the vocabulary/config in process-global state (set once by the
+pool initializer) — pickling a 100k-term dict per task would erase the win.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+from collections import Counter
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+
+from sert_tpu.data.tokenize import tokenize
+from sert_tpu.utils.config import DataConfig
+
+_WORKER_STATE: dict = {}
+
+
+def _init_worker(cfg: DataConfig, vocab_index: Optional[Dict[str, int]]) -> None:
+    _WORKER_STATE["cfg"] = cfg
+    _WORKER_STATE["index"] = vocab_index
+
+
+def _tok(text: str, cfg: DataConfig) -> List[str]:
+    return tokenize(text, lowercase=cfg.lowercase,
+                    filter_stopwords=cfg.filter_stopwords,
+                    min_token_len=cfg.min_token_len,
+                    drop_numeric=cfg.drop_numeric)
+
+
+def _count_chunk(texts: List[str]) -> Counter:
+    cfg = _WORKER_STATE["cfg"]
+    c: Counter = Counter()
+    for t in texts:
+        c.update(_tok(t, cfg))
+    return c
+
+
+def _encode_chunk(items: List[Tuple[str, str]]) -> List[Tuple[str, List[int]]]:
+    cfg, index = _WORKER_STATE["cfg"], _WORKER_STATE["index"]
+    out = []
+    for doc_id, text in items:
+        out.append((doc_id,
+                    [index[t] for t in _tok(text, cfg) if t in index]))
+    return out
+
+
+def _chunks(seq: List, n: int) -> Iterator[List]:
+    for i in range(0, len(seq), n):
+        yield seq[i:i + n]
+
+
+def parallel_term_counts(texts: List[str], cfg: DataConfig,
+                         num_workers: int, chunk: int = 256) -> Counter:
+    """Merged token counts over all texts (vocabulary pass 1)."""
+    with mp.Pool(num_workers, initializer=_init_worker,
+                 initargs=(cfg, None)) as pool:
+        total: Counter = Counter()
+        for c in pool.imap(_count_chunk, _chunks(texts, chunk)):
+            total.update(c)
+    return total
+
+
+def parallel_encode(items: List[Tuple[str, str]], cfg: DataConfig,
+                    vocab_index: Dict[str, int], num_workers: int,
+                    chunk: int = 256) -> Iterator[Tuple[str, List[int]]]:
+    """(doc_id, token_ids) in the INPUT order (vocabulary pass 2)."""
+    with mp.Pool(num_workers, initializer=_init_worker,
+                 initargs=(cfg, vocab_index)) as pool:
+        for batch in pool.imap(_encode_chunk, _chunks(items, chunk)):
+            yield from batch

@@ -51,12 +51,20 @@ def prepare(
     """
     os.makedirs(out_dir, exist_ok=True)
 
-    log.info("prepare: pass 1 (vocabulary) over %d docs", len(docs))
-    vocab = Vocabulary.build(
-        (_tok(text, cfg) for text in docs.values()),
-        max_size=cfg.vocab_max_size,
-        min_count=cfg.vocab_min_count,
-    )
+    log.info("prepare: pass 1 (vocabulary) over %d docs (workers=%d)",
+             len(docs), cfg.num_workers)
+    if cfg.num_workers > 0:
+        from sert_tpu.data.parallel_prepare import parallel_term_counts
+        counts = parallel_term_counts(list(docs.values()), cfg,
+                                      cfg.num_workers)
+        vocab = Vocabulary.from_counter(counts, max_size=cfg.vocab_max_size,
+                                        min_count=cfg.vocab_min_count)
+    else:
+        vocab = Vocabulary.build(
+            (_tok(text, cfg) for text in docs.values()),
+            max_size=cfg.vocab_max_size,
+            min_count=cfg.vocab_min_count,
+        )
     vocab.save(os.path.join(out_dir, VOCAB_NAME))
     registry.save(os.path.join(out_dir, ENTITIES_NAME))
     assoc.save(os.path.join(out_dir, ASSOC_NAME))
@@ -73,6 +81,22 @@ def prepare(
         instances_per_shard=cfg.instances_per_shard,
         seed=cfg.seed,
     )
+    def encoded_docs():
+        """(doc_id, entity_ids, token_ids) for docs with associations, in
+        deterministic corpus order; tokenization optionally fans out over a
+        process pool."""
+        items = [(doc_id, text) for doc_id, text in docs.items()
+                 if assoc.entities_for(doc_id)]
+        if cfg.num_workers > 0:
+            from sert_tpu.data.parallel_prepare import parallel_encode
+            for doc_id, token_ids in parallel_encode(
+                    items, cfg, vocab.term_to_id, cfg.num_workers):
+                yield doc_id, assoc.entities_for(doc_id), token_ids
+        else:
+            for doc_id, text in items:
+                yield (doc_id, assoc.entities_for(doc_id),
+                       vocab.encode(_tok(text, cfg)))
+
     n_docs_used = 0
     if native is not None:
         # Batched native sweep: encode documents into one concatenated
@@ -95,11 +119,7 @@ def prepare(
                 writer.add(w, l, e)
             buf_tok, buf_ent, doc_off, ent_off = [], [], [0], [0]
 
-        for doc_id, text in docs.items():
-            ents = assoc.entities_for(doc_id)
-            if not ents:
-                continue
-            token_ids = vocab.encode(_tok(text, cfg))
+        for doc_id, ents, token_ids in encoded_docs():
             if not token_ids:
                 continue
             buf_tok.append(np.asarray(token_ids, np.int32))
@@ -111,11 +131,7 @@ def prepare(
                 flush()
         flush()
     else:
-        for doc_id, text in docs.items():
-            ents = assoc.entities_for(doc_id)
-            if not ents:
-                continue
-            token_ids = vocab.encode(_tok(text, cfg))
+        for doc_id, ents, token_ids in encoded_docs():
             w, l, e = extract_windows(token_ids, ents, cfg.window_size,
                                       cfg.stride)
             if w.shape[0]:

@@ -42,6 +42,13 @@ class Vocabulary:
         counter: Counter = Counter()
         for stream in token_streams:
             counter.update(stream)
+        return cls.from_counter(counter, max_size, min_count)
+
+    @classmethod
+    def from_counter(cls, counter: Counter, max_size: int = 65536,
+                     min_count: int = 2) -> "Vocabulary":
+        """Build from pre-merged term counts (the multiprocessing prepare
+        path merges per-worker Counters, then calls this)."""
         items = [(t, c) for t, c in counter.items() if c >= min_count]
         items.sort(key=lambda tc: (-tc[1], tc[0]))
         items = items[:max_size]
@@ -72,6 +79,11 @@ class Vocabulary:
         """Map tokens to ids, dropping OOV (reference semantics)."""
         idx = self._index
         return [idx[t] for t in tokens if t in idx]
+
+    @property
+    def term_to_id(self) -> Dict[str, int]:
+        """The term->id map (treat as read-only; handed to worker pools)."""
+        return self._index
 
     def iter_terms(self) -> Iterator[str]:
         return iter(self._terms)

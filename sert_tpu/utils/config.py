@@ -29,6 +29,7 @@ class DataConfig:
     drop_numeric: bool = False      # drop pure-digit tokens
     instances_per_shard: int = 1 << 18
     seed: int = 0
+    num_workers: int = 0            # >0: multiprocessing tokenize/encode
 
 
 @dataclass(frozen=True)

@@ -172,6 +172,31 @@ class TestSyntheticAndPrepare:
         for tid, rel in c1.qrels.items():
             assert len(rel) == 1
 
+    def test_parallel_prepare_identical_to_serial(self, tmp_path):
+        """num_workers>0 must produce byte-identical artifacts (ordered imap,
+        same vocab counts) — SURVEY.md section 6 race-detection contract."""
+        col = make_synthetic(num_entities=8, vocab_size=300, docs_per_entity=4,
+                             doc_len=50, num_topics=4, seed=6)
+        reg = EntityRegistry(col.entities)
+        assoc = Associations()
+        for doc_id, ents in col.doc_entities.items():
+            for e in ents:
+                assoc.add(doc_id, reg.id(e))
+        outs = {}
+        for tag, workers in (("serial", 0), ("mp", 2)):
+            cfg = DataConfig(window_size=5, vocab_min_count=1,
+                             num_workers=workers)
+            d = str(tmp_path / tag)
+            prep.prepare(col.docs, assoc, reg, d, cfg, use_native=False)
+            outs[tag] = d
+        va = Vocabulary.load(outs["serial"] + "/vocab.json")
+        vb = Vocabulary.load(outs["mp"] + "/vocab.json")
+        assert va.content_hash() == vb.content_hash()
+        a, _ = next(InstanceDataset(outs["serial"]).iter_batches(32, epoch=0))
+        b, _ = next(InstanceDataset(outs["mp"]).iter_batches(32, epoch=0))
+        np.testing.assert_array_equal(a["windows"], b["windows"])
+        np.testing.assert_array_equal(a["entities"], b["entities"])
+
     def test_prepare_end_to_end(self, tmp_path):
         col = make_synthetic(num_entities=8, vocab_size=300, docs_per_entity=3,
                              doc_len=40, num_topics=4, seed=5)

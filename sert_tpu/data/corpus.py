@@ -14,7 +14,7 @@ import gzip
 import json
 import os
 import re
-from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+from typing import Dict, Iterable, Iterator, List, Tuple
 
 from sert_tpu.data.assoc import Associations, EntityRegistry
 

@@ -9,7 +9,7 @@ corpus parsers share one path.
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, Iterable, Optional, Tuple
+from typing import Dict
 
 from sert_tpu.data.assoc import Associations, EntityRegistry
 from sert_tpu.data.instances import InstanceWriter

@@ -13,7 +13,7 @@ any large shortfall indicates a real bug (SURVEY.md section 5, test item 4).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 
@@ -52,16 +52,20 @@ def make_synthetic(
     zipf = 1.0 / ranks
     zipf /= zipf.sum()
 
-    # Disjoint-ish signatures: sample without replacement from the mid/tail of
-    # the vocab so background noise rarely collides with signatures.
-    sig_pool = np.arange(vocab_size // 4, vocab_size)
+    # Signatures come from the mid/tail of the vocab (background Zipf noise
+    # rarely collides with them). Deal consecutive slices of a shuffled
+    # pool: disjoint while the pool lasts, then reshuffle and keep dealing —
+    # large collections (entities * signature_size > pool) get overlapping
+    # but still entity-identifying signatures.
+    sig_pool = rng.permutation(np.arange(vocab_size // 4, vocab_size))
     signatures = []
-    used = set()
+    pos = 0
     for _ in range(num_entities):
-        avail = np.array([t for t in sig_pool if t not in used])
-        pick = rng.choice(avail, size=signature_size, replace=False)
-        used.update(int(p) for p in pick)
-        signatures.append(pick)
+        if pos + signature_size > sig_pool.shape[0]:
+            sig_pool = rng.permutation(sig_pool)
+            pos = 0
+        signatures.append(sig_pool[pos:pos + signature_size].copy())
+        pos += signature_size
 
     entities = [f"entity{i:04d}" for i in range(num_entities)]
     docs: Dict[str, str] = {}

@@ -17,7 +17,7 @@ maps). Output is bins-major [NB, Q, 128] to satisfy Mosaic block tiling.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ integration keeps an XLA fallback (ModelConfig.fused_softmax).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,14 +21,14 @@ single-device engine).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from sert_tpu.models import api
-from sert_tpu.scoring.scorer import (NEG_INF, _entity_matrix,
+from sert_tpu.scoring.scorer import (_entity_matrix,
                                      _query_reps_and_terms,
                                      apply_ll_normalizer, chunked_topk_core)
 from sert_tpu.utils.config import ModelConfig

@@ -10,8 +10,6 @@ a torch port would have carried (SURVEY.md section 6, comm backend row).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

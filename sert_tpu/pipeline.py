@@ -8,7 +8,7 @@ CLI, the recipe runner, the e2e tests, and the benchmark harness.
 from __future__ import annotations
 
 import os
-from typing import Dict, Mapping, Optional, Sequence, Tuple
+from typing import Dict, Mapping, Optional
 
 import jax
 import numpy as np
@@ -21,7 +21,6 @@ from sert_tpu.data.synthetic import SyntheticCollection
 from sert_tpu.data.vocab import Vocabulary
 from sert_tpu.eval.metrics import evaluate_run
 from sert_tpu.eval.trec import write_qrels, write_run, write_topics
-from sert_tpu.models import api
 from sert_tpu.scoring.run import score_topics
 from sert_tpu.train import checkpoint as ckpt
 from sert_tpu.train.loop import train as train_loop

@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from sert_tpu.models import api, lse as lse_model
-from sert_tpu.models.common import compute_dtype, masked_mean_embed
-from sert_tpu.utils.config import ModelConfig, ScoreConfig
+from sert_tpu.models.common import compute_dtype
+from sert_tpu.utils.config import ModelConfig
 
 NEG_INF = jnp.float32(-1e30)
 

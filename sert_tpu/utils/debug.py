@@ -9,7 +9,7 @@ host-side concurrency (sert_tpu/data/feeder.py).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

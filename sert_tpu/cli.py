@@ -68,6 +68,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--run", required=True)
     p.add_argument("--qrels", required=True)
     p.add_argument("--measures", nargs="*", default=None)
+    p.add_argument("--per-topic", action="store_true",
+                   help="print per-topic rows, not just the macro average")
+    p.add_argument("--judged-only", action="store_true",
+                   help="drop unjudged documents before scoring (trec_eval -J)")
 
     p = sub.add_parser("e2e", help="synthetic recipe end to end")
     _add_recipe_arg(p)
@@ -138,8 +142,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         run = read_run(args.run)
         qrels = read_qrels(args.qrels)
         measures = tuple(args.measures) if args.measures else DEFAULT_MEASURES
-        results = evaluate_run(run, qrels, measures)
-        print(json.dumps(results["all"], indent=2, sort_keys=True))
+        results = evaluate_run(run, qrels, measures,
+                               judged_only=args.judged_only)
+        out = results if args.per_topic else results["all"]
+        print(json.dumps(out, indent=2, sort_keys=True))
         return 0
 
     if args.cmd == "e2e":

@@ -99,15 +99,19 @@ def evaluate_topic(entries: Iterable[Tuple[str, float]],
 def evaluate_run(run: Mapping[str, Iterable[Tuple[str, float]]],
                  qrels: Mapping[str, Mapping[str, int]],
                  measures: Sequence[str] = DEFAULT_MEASURES,
+                 judged_only: bool = False,
                  ) -> Dict[str, Dict[str, float]]:
     """Per-topic metrics plus macro-averaged ``"all"`` row.
 
     Topics present in qrels but missing from the run score 0 (trec_eval
-    -c semantics: judged topics always count).
+    -c semantics: judged topics always count). ``judged_only`` drops
+    unjudged documents from the run before scoring (trec_eval -J).
     """
     per_topic: Dict[str, Dict[str, float]] = {}
     for qid, rels in qrels.items():
         entries = run.get(qid, [])
+        if judged_only:
+            entries = [(d, s) for d, s in entries if d in rels]
         per_topic[qid] = evaluate_topic(entries, rels, measures)
     n = max(len(per_topic), 1)
     per_topic["all"] = {

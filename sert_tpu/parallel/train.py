@@ -28,10 +28,13 @@ def make_sharded_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
 
     state_shapes = jax.eval_shape(host_init)
     st_sh = state_shardings(state_shapes, mesh, model_cfg)
+    # steps_per_call > 1 stacks batches with a leading micro-step axis that
+    # stays unsharded; the batch axis shards over "data" either way.
+    lead = (None,) if train_cfg.steps_per_call > 1 else ()
     batch_sh = {
-        "windows": NamedSharding(mesh, P("data", None)),
-        "lengths": NamedSharding(mesh, P("data")),
-        "entities": NamedSharding(mesh, P("data")),
+        "windows": NamedSharding(mesh, P(*lead, "data", None)),
+        "lengths": NamedSharding(mesh, P(*lead, "data")),
+        "entities": NamedSharding(mesh, P(*lead, "data")),
     }
     metrics_sh = {"loss": NamedSharding(mesh, P()),
                   "grad_norm": NamedSharding(mesh, P())}

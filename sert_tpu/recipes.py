@@ -43,7 +43,7 @@ def w3c_expert_finding(scale: float = 1.0) -> RecipeConfig:
         data=DataConfig(window_size=8, vocab_max_size=60000, vocab_min_count=2),
         model=ModelConfig(model="loglinear", word_dim=128),
         train=TrainConfig(batch_size=1024, num_epochs=5, optimizer="adam",
-                          learning_rate=1e-3),
+                          learning_rate=1e-3, steps_per_call=16),
         score=ScoreConfig(top_k=100),
     )
 
@@ -60,7 +60,7 @@ def cerc_expert_finding() -> RecipeConfig:
         data=DataConfig(window_size=8, vocab_max_size=60000, vocab_min_count=2),
         model=ModelConfig(model="loglinear", word_dim=256),
         train=TrainConfig(batch_size=1024, num_epochs=5, optimizer="adam",
-                          learning_rate=1e-3),
+                          learning_rate=1e-3, steps_per_call=16),
         score=ScoreConfig(top_k=100),
     )
 
@@ -80,7 +80,7 @@ def amazon_musical_instruments() -> RecipeConfig:
                           num_negatives=10,
                           negative_distribution="unigram"),
         train=TrainConfig(batch_size=1024, num_epochs=5, optimizer="adam",
-                          learning_rate=1e-3),
+                          learning_rate=1e-3, steps_per_call=16),
         score=ScoreConfig(top_k=100, similarity="cosine"),
     )
 
@@ -100,7 +100,8 @@ def amazon_home_kitchen() -> RecipeConfig:
                           num_negatives=10, negative_distribution="unigram",
                           compute_dtype="bfloat16"),
         train=TrainConfig(batch_size=4096, num_epochs=3, optimizer="adam",
-                          learning_rate=1e-3, mesh_shape=(8, 1)),
+                          learning_rate=1e-3, mesh_shape=(8, 1),
+                          steps_per_call=16),
         score=ScoreConfig(top_k=100, similarity="cosine",
                           entity_chunk=1 << 16),
     )

@@ -103,33 +103,37 @@ def train(
     }
 
     jlog = JsonlLogger(os.path.join(out_dir, "train_log.jsonl"))
-    step_times = []
+    n_micro = max(tcfg.steps_per_call, 1)
     try:
         for epoch in range(start_epoch, tcfg.num_epochs):
             epoch_cursor = cursor if epoch == start_epoch else None
             batches = dataset.iter_batches(tcfg.batch_size, epoch=epoch,
                                            start_cursor=epoch_cursor)
+            batches = _group_batches(batches, n_micro)
             feeder = PrefetchFeeder(batches, put_fn=_batch_put(put_fn),
                                     deterministic=deterministic_feed)
             last_cursor = epoch_cursor
             t_last = time.perf_counter()
+            prev_step = int(state.step)
             epoch_losses = []
             for dev_batch, next_cursor in feeder:
                 state, metrics = train_step(state, dev_batch)
                 last_cursor = next_cursor
                 step_i = int(state.step)
-                if tcfg.log_every_steps and step_i % tcfg.log_every_steps == 0:
+                # "crossed a multiple" tests: steps advance n_micro at a time.
+                if (tcfg.log_every_steps
+                        and step_i % tcfg.log_every_steps < n_micro):
                     loss = float(metrics["loss"])  # device sync point
                     now = time.perf_counter()
-                    sps = tcfg.log_every_steps / max(now - t_last, 1e-9)
-                    t_last = now
+                    sps = (step_i - prev_step) / max(now - t_last, 1e-9)
+                    t_last, prev_step = now, step_i
                     epoch_losses.append(loss)
                     jlog.log("train_step", step=step_i, epoch=epoch, loss=loss,
                              grad_norm=float(metrics["grad_norm"]),
                              steps_per_sec=sps,
                              instances_per_sec=sps * tcfg.batch_size)
                 if (tcfg.checkpoint_every_steps
-                        and step_i % tcfg.checkpoint_every_steps == 0):
+                        and step_i % tcfg.checkpoint_every_steps < n_micro):
                     ckpt.save_checkpoint(
                         ckpt_dir, step_i, state,
                         {"epoch": epoch, "cursor": list(last_cursor), **meta_common})
@@ -147,6 +151,23 @@ def train(
     finally:
         jlog.close()
     return state
+
+
+def _group_batches(it, n: int):
+    """Group n (batch, cursor) pairs into (stacked batch [n, ...], cursor of
+    the LAST group member). Incomplete tail groups are dropped (static
+    shapes). n=1 passes through untouched."""
+    if n <= 1:
+        yield from it
+        return
+    buf = []
+    for batch, cur in it:
+        buf.append((batch, cur))
+        if len(buf) == n:
+            stacked = {k: np.stack([b[k] for b, _ in buf])
+                       for k in buf[0][0]}
+            yield stacked, buf[-1][1]
+            buf = []
 
 
 def _batch_put(put_fn: Optional[Callable]):

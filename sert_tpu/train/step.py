@@ -64,6 +64,10 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
 
     ``noise``: negative-sampling logits over entities (LSE only); closed over
     as a constant so it lives on-device across steps.
+
+    With ``train_cfg.steps_per_call > 1`` the returned function takes a
+    STACKED batch (leading axis = micro-steps) and scans the step inside one
+    compiled call; metrics are the final micro-step's.
     """
     opt = make_optimizer(train_cfg)
 
@@ -79,6 +83,15 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         metrics = {"loss": loss,
                    "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
+
+    n = train_cfg.steps_per_call
+    if n > 1:
+        inner = step
+
+        def step(state: TrainState, stacked: Dict[str, jax.Array]
+                 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+            state, metrics = jax.lax.scan(inner, state, stacked)
+            return state, jax.tree.map(lambda m: m[-1], metrics)
 
     if not jit:
         return step

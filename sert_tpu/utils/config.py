@@ -70,6 +70,10 @@ class TrainConfig:
     # Mesh: (data_parallel, model_parallel) axis sizes; (1, 1) = single chip.
     mesh_shape: Tuple[int, int] = (1, 1)
     donate_state: bool = True
+    # Micro-steps executed inside ONE compiled call (lax.scan over stacked
+    # batches). >1 amortizes per-dispatch overhead — essential on dispatch-
+    # latency-bound platforms (see benchmarks/NOTES.md, ~24ms RTT here).
+    steps_per_call: int = 1
 
 
 @dataclass(frozen=True)

@@ -59,6 +59,16 @@ class TestMetricsHandWorked:
         assert res["q2"]["map"] == 0.0
         assert res["all"]["map"] == pytest.approx(0.5)
 
+    def test_judged_only(self):
+        # unjudged doc 'x' outranks the judged relevant 'a'
+        run = {"q1": [("x", 9.0), ("a", 1.0)]}
+        qrels = {"q1": {"a": 1, "b": 0}}
+        full = metrics.evaluate_run(run, qrels, measures=("recip_rank",))
+        judged = metrics.evaluate_run(run, qrels, measures=("recip_rank",),
+                                      judged_only=True)
+        assert full["q1"]["recip_rank"] == pytest.approx(0.5)
+        assert judged["q1"]["recip_rank"] == pytest.approx(1.0)
+
     def test_missing_topic_counts_zero(self):
         res = metrics.evaluate_run({}, {"q1": {"a": 1}}, measures=("map",))
         assert res["q1"]["map"] == 0.0

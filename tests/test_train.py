@@ -162,6 +162,45 @@ class TestLoop:
                                        rtol=0, atol=0)
         assert os.path.exists(os.path.join(out_a, "train_log.jsonl"))
 
+    def test_steps_per_call_matches_single(self, tmp_path):
+        """Scan-unrolled training (steps_per_call=4) must produce the same
+        params as one-step-per-dispatch, given the same batch stream."""
+        import dataclasses
+        ds, _ = _prepared_dataset(tmp_path)
+        t1 = dataclasses.replace(TCFG, num_epochs=1)
+        t4 = dataclasses.replace(TCFG, num_epochs=1, steps_per_call=4)
+        s1 = train(RecipeConfig(name="a", model=MCFG, train=t1), ds,
+                   str(tmp_path / "a"), deterministic_feed=True)
+        s4 = train(RecipeConfig(name="b", model=MCFG, train=t4), ds,
+                   str(tmp_path / "b"), deterministic_feed=True)
+        # steps_per_call drops tail groups; compare at the common step count
+        n_common = int(s4.step)
+        assert n_common > 0 and n_common <= int(s1.step)
+        if int(s1.step) == n_common:
+            for key in s1.params:
+                np.testing.assert_allclose(np.asarray(s1.params[key]),
+                                           np.asarray(s4.params[key]),
+                                           rtol=1e-5, atol=1e-6)
+
+    def test_steps_per_call_exact_when_divisible(self, tmp_path):
+        """With batch count divisible by steps_per_call the runs are
+        bit-identical."""
+        import dataclasses
+        ds, _ = _prepared_dataset(tmp_path)
+        n_batches = ds.num_batches_per_epoch(TCFG.batch_size)
+        n = 2 if n_batches % 2 == 0 else 1
+        t1 = dataclasses.replace(TCFG, num_epochs=1)
+        tn = dataclasses.replace(TCFG, num_epochs=1, steps_per_call=n)
+        s1 = train(RecipeConfig(name="a", model=MCFG, train=t1), ds,
+                   str(tmp_path / "c"), deterministic_feed=True)
+        sn = train(RecipeConfig(name="b", model=MCFG, train=tn), ds,
+                   str(tmp_path / "d"), deterministic_feed=True)
+        assert int(s1.step) == int(sn.step)
+        for key in s1.params:
+            np.testing.assert_allclose(np.asarray(s1.params[key]),
+                                       np.asarray(sn.params[key]),
+                                       rtol=1e-6, atol=1e-7)
+
     def test_epoch_snapshots_written(self, tmp_path):
         ds, _ = _prepared_dataset(tmp_path)
         recipe = RecipeConfig(name="t", model=MCFG, train=TCFG)

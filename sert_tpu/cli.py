@@ -46,6 +46,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="use the recipe's synthetic stand-in collection")
     p.add_argument("--trec-docs", nargs="*", default=None,
                    help="TREC SGML collection files/dirs")
+    p.add_argument("--candidates", default=None,
+                   help="expert candidates file (id<TAB>name<TAB>email...) "
+                        "for TREC expert-finding prepare")
     p.add_argument("--amazon-reviews", nargs="*", default=None,
                    help="Amazon review JSON(.gz) files")
 
@@ -102,11 +105,22 @@ def main(argv: Optional[List[str]] = None) -> int:
             docs, assoc, registry = build_product_collection(args.amazon_reviews)
             prepare(docs, assoc, registry, args.out, recipe.data)
         else:
-            from sert_tpu.data.corpus import iter_trec_docs, trec_collection_files
-            raise SystemExit(
-                "TREC expert-finding prepare needs a candidates file wiring; "
-                "provide associations explicitly via the library API "
-                "(sert_tpu.data.corpus.build_expert_associations)")
+            if not args.candidates:
+                raise SystemExit(
+                    "TREC expert-finding prepare needs --candidates "
+                    "(id<TAB>name<TAB>email... file)")
+            from sert_tpu.data.corpus import (build_expert_associations,
+                                              iter_trec_docs, load_candidates,
+                                              trec_collection_files)
+            from sert_tpu.data.prepare import prepare
+            files = []
+            for spec in args.trec_docs:
+                files.extend(trec_collection_files(spec)
+                             if os.path.isdir(spec) else [spec])
+            docs = dict(iter_trec_docs(files))
+            registry, mentions = load_candidates(args.candidates)
+            assoc = build_expert_associations(docs.items(), mentions, registry)
+            prepare(docs, assoc, registry, args.out, recipe.data)
         return 0
 
     if args.cmd == "train":

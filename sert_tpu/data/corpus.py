@@ -66,13 +66,23 @@ def trec_collection_files(root: str) -> List[str]:
 def load_candidate_list(path: str) -> EntityRegistry:
     """Candidate file: one expert per line, ``id<TAB>full name<TAB>email...``.
     Extra columns are alternate mentions used for association matching."""
+    return load_candidates(path)[0]
+
+
+def load_candidates(path: str) -> Tuple[EntityRegistry, Dict[str, List[str]]]:
+    """Parse a candidates file into (registry, {candidate_id: [mentions]}).
+    Column 1 is the id; later columns (names, e-mails) are the mention
+    strings the association matcher searches documents for."""
     reg = EntityRegistry()
-    with open(path) as fh:
+    mentions: Dict[str, List[str]] = {}
+    with open(path, errors="replace") as fh:
         for line in fh:
-            parts = line.rstrip("\n").split("\t")
-            if parts and parts[0]:
-                reg.add(parts[0])
-    return reg
+            parts = [p.strip() for p in line.rstrip("\n").split("\t")]
+            if not parts or not parts[0]:
+                continue
+            reg.add(parts[0])
+            mentions[parts[0]] = [p for p in parts[1:] if p]
+    return reg, mentions
 
 
 def build_expert_associations(

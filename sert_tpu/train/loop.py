@@ -143,9 +143,9 @@ def train(
             ckpt.save_checkpoint(
                 ckpt_dir, step_i, state,
                 {"epoch": epoch + 1, "cursor": None, **meta_common})
-            log.info("epoch %d done at step %d (mean logged loss %.4f)",
-                     epoch, step_i,
-                     float(np.mean(epoch_losses)) if epoch_losses else float("nan"))
+            log.info("epoch %d done at step %d%s", epoch, step_i,
+                     (" (mean logged loss %.4f)" % float(np.mean(epoch_losses)))
+                     if epoch_losses else "")
             jlog.log("epoch_end", epoch=epoch, step=step_i)
             cursor = None
     finally:

@@ -9,7 +9,7 @@ step DMAs the needed bin rows of M straight into VMEM via the BlockSpec
 index_map, computes the [128] scores on the MXU, and writes only the scores
 (14MB) — the gathered matrix never exists in HBM.
 
-Grid: (Q/QB, NB); each step rescores one bin for QB=8 queries (each query
+Grid: (Q/QB, NB); each step rescores one bin for QB queries (each query
 needs its own bin, so the M operand appears QB times with per-row index
 maps). Output is bins-major [NB, Q, 128] to satisfy Mosaic block tiling.
 """
@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-QB = 8  # queries per grid step
+QB = 16  # default queries per grid step (benchmarks/NOTES.md: best of {8,16,32})
 
 
 def _kernel(idx_ref, r_ref, *refs, qb, lanes, d):
@@ -46,9 +46,9 @@ def _kernel(idx_ref, r_ref, *refs, qb, lanes, d):
 _SMEM_IDX_BUDGET = 1 << 18  # bytes of bin_idx per pallas_call
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "qb"))
 def gather_rescore(R: jax.Array, M_binned: jax.Array, bin_idx: jax.Array,
-                   interpret: Optional[bool] = None) -> jax.Array:
+                   interpret: Optional[bool] = None, qb: int = QB) -> jax.Array:
     """[Q, NB*128] exact scores of the selected bins.
 
     R [Q, d] (Q must be a multiple of 8; pad upstream), M_binned
@@ -61,46 +61,46 @@ def gather_rescore(R: jax.Array, M_binned: jax.Array, bin_idx: jax.Array,
     if NB > nb_chunk:
         parts = [
             _gather_rescore_one(R, M_binned, bin_idx[:, lo:lo + nb_chunk],
-                                interpret=interpret)
+                                interpret=interpret, qb=qb)
             for lo in range(0, NB, nb_chunk)
         ]
         return jnp.concatenate(parts, axis=1)
-    return _gather_rescore_one(R, M_binned, bin_idx, interpret=interpret)
+    return _gather_rescore_one(R, M_binned, bin_idx, interpret=interpret, qb=qb)
 
 
 def _gather_rescore_one(R: jax.Array, M_binned: jax.Array, bin_idx: jax.Array,
-                        interpret: Optional[bool] = None) -> jax.Array:
+                        interpret: Optional[bool] = None, qb: int = QB) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     Q, d = R.shape
     NB = bin_idx.shape[1]
-    assert Q % QB == 0, f"Q={Q} must be a multiple of {QB}"
+    assert Q % qb == 0, f"Q={Q} must be a multiple of {qb}"
 
-    grid = (Q // QB, NB)
+    grid = (Q // qb, NB)
 
     def m_spec(r):
         return pl.BlockSpec((1, LANES, d),
-                            lambda i, j, idx: (idx[i * QB + r, j], 0, 0),
+                            lambda i, j, idx: (idx[i * qb + r, j], 0, 0),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((QB, d), lambda i, j, idx: (i, 0),
+            pl.BlockSpec((qb, d), lambda i, j, idx: (i, 0),
                          memory_space=pltpu.VMEM),
-            *[m_spec(r) for r in range(QB)],
+            *[m_spec(r) for r in range(qb)],
         ],
-        out_specs=pl.BlockSpec((1, QB, LANES), lambda i, j, idx: (j, i, 0),
+        out_specs=pl.BlockSpec((1, qb, LANES), lambda i, j, idx: (j, i, 0),
                                memory_space=pltpu.VMEM),
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, qb=QB, lanes=LANES, d=d),
+        functools.partial(_kernel, qb=qb, lanes=LANES, d=d),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NB, Q, LANES), jnp.float32),
         interpret=interpret,
-    )(bin_idx, R.astype(M_binned.dtype), *([M_binned] * QB))
+    )(bin_idx, R.astype(M_binned.dtype), *([M_binned] * qb))
 
     # [NB, Q, 128] -> [Q, NB*128]
     return jnp.moveaxis(out, 0, 1).reshape(Q, NB * LANES)

@@ -11,12 +11,28 @@ from __future__ import annotations
 
 from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from sert_tpu.scoring.scorer import (_entity_matrix, dense_scores,
                                      pallas_topk, streaming_topk)
 from sert_tpu.utils.config import ModelConfig, ScoreConfig
+
+
+def resolve_engine(sc: ScoreConfig, num_entities: int) -> str:
+    """Pick the scoring engine. "auto": the Pallas exact engine on TPU,
+    otherwise dense for small collections and the streaming scan above
+    ``entity_chunk`` entities. ``use_pallas`` is a legacy alias."""
+    if sc.use_pallas:
+        return "pallas"
+    if sc.engine != "auto":
+        if sc.engine not in ("dense", "streaming", "pallas", "approx"):
+            raise ValueError(f"unknown scoring engine {sc.engine!r}")
+        return sc.engine
+    if jax.default_backend() == "tpu":
+        return "pallas"
+    return "dense" if num_entities <= sc.entity_chunk else "streaming"
 
 
 def pad_queries(encoded: Mapping[str, Sequence[int]], max_terms: int = 16
@@ -48,12 +64,14 @@ def score_topics(
     E = len(entity_names)
     run: Dict[str, List[Tuple[str, float]]] = {qid: [] for qid in qids}
 
+    engine = resolve_engine(sc, E)
     prep = None
-    if sc.use_pallas:
+    if engine == "pallas":
         from sert_tpu.ops.exact_topk import prepare_entities
         prep = prepare_entities(_entity_matrix(params, cfg, sc.similarity))
 
     B = sc.query_batch
+    k = min(sc.top_k, E)
     for lo in range(0, len(qids), B):
         hi = min(lo + B, len(qids))
         n = hi - lo
@@ -62,22 +80,27 @@ def score_topics(
         m = np.zeros((B,), np.int32)
         t[:n], m[:n] = term_ids[lo:hi], num_terms[lo:hi]
 
-        if sc.use_pallas:
+        if engine == "pallas":
             top_s, idx = pallas_topk(params, cfg, jnp.asarray(t),
-                                     jnp.asarray(m), k=min(sc.top_k, E),
+                                     jnp.asarray(m), k=k,
                                      similarity=sc.similarity, prep=prep)
             top_s, idx = np.asarray(top_s), np.asarray(idx)
-        elif sc.entity_chunk >= E:
+        elif engine == "dense":
             scores = np.asarray(dense_scores(
                 params, cfg, jnp.asarray(t), jnp.asarray(m),
                 similarity=sc.similarity))
-            k = min(sc.top_k, E)
             idx = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
             top_s = np.take_along_axis(scores, idx, axis=1)
-        else:
+        elif engine == "approx":
+            scores = dense_scores(params, cfg, jnp.asarray(t),
+                                  jnp.asarray(m), similarity=sc.similarity)
+            top_s, idx = jax.lax.approx_max_k(
+                scores, k, recall_target=sc.recall_target)
+            top_s, idx = np.asarray(top_s), np.asarray(idx)
+        else:  # streaming
             top_s, idx = streaming_topk(
                 params, cfg, jnp.asarray(t), jnp.asarray(m),
-                k=sc.top_k, chunk=sc.entity_chunk, similarity=sc.similarity)
+                k=k, chunk=sc.entity_chunk, similarity=sc.similarity)
             top_s, idx = np.asarray(top_s), np.asarray(idx)
 
         for qi in range(n):

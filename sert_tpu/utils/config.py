@@ -83,7 +83,12 @@ class ScoreConfig:
     query_batch: int = 64
     similarity: str = "dot"          # "dot" | "cosine" (LSE query time)
     aggregate: str = "sum_log_prob"  # log-linear per-term aggregation
-    use_pallas: bool = False         # tiled Pallas scoring kernel
+    # Engine: "auto" picks pallas on TPU, else dense (small E) / streaming.
+    # "approx" = dense scores + lax.approx_max_k (fast, recall ~0.99,
+    # materializes [Q, E] — not for the 10M configuration).
+    engine: str = "auto"             # auto|dense|streaming|pallas|approx
+    recall_target: float = 0.99      # approx engine only
+    use_pallas: bool = False         # legacy alias for engine="pallas"
 
 
 @dataclass(frozen=True)

@@ -110,6 +110,30 @@ class TestPallasEngine:
         np.testing.assert_allclose(np.sort(got_sc), np.sort(want_sc),
                                    rtol=1e-3, atol=5e-2)
 
+    def test_engine_resolution(self):
+        from sert_tpu.scoring.run import resolve_engine
+        # on the CPU test backend auto resolves by size
+        assert resolve_engine(ScoreConfig(entity_chunk=100), 50) == "dense"
+        assert resolve_engine(ScoreConfig(entity_chunk=100), 500) == "streaming"
+        assert resolve_engine(ScoreConfig(engine="pallas"), 50) == "pallas"
+        assert resolve_engine(ScoreConfig(use_pallas=True), 50) == "pallas"
+        with pytest.raises(ValueError):
+            resolve_engine(ScoreConfig(engine="bogus"), 50)
+
+    def test_approx_engine_high_overlap(self):
+        params = api.init_params(jax.random.key(13), CFG_LSE)
+        names = [f"e{i}" for i in range(37)]
+        topics = {"q1": [5, 6], "q2": [7, 8, 9]}
+        run_d = score_topics(params, CFG_LSE, topics, names,
+                             ScoreConfig(top_k=10, engine="dense"))
+        run_a = score_topics(params, CFG_LSE, topics, names,
+                             ScoreConfig(top_k=10, engine="approx",
+                                         recall_target=0.95))
+        for qid in topics:
+            d = {n for n, _ in run_d[qid]}
+            a = {n for n, _ in run_a[qid]}
+            assert len(d & a) >= 9  # recall target honored
+
     def test_score_topics_pallas_matches_dense(self):
         params = api.init_params(jax.random.key(12), CFG_LSE)
         names = [f"e{i}" for i in range(37)]

@@ -18,6 +18,12 @@ Tie caveat: if MORE than ``pad`` bins tie exactly at theta beyond the k-th,
 an element could be missed; with continuous scores this has measure zero,
 and duplicate entity vectors (exact ties) can only be missed in favor of an
 equal-scoring duplicate — the returned SCORES are still exact.
+
+Related work: screening models for fast softmax inference (Chen et al.,
+"Learning to Screen for Fast Softmax Inference", arXiv:1810.12406 — see
+PAPERS.md) prune candidates with a LEARNED clusterer; the bin-max prefilter
+here achieves the pruning with an exactness guarantee instead, trading a
+128x-reduced exact max-reduce for training a screener.
 """
 
 from __future__ import annotations

@@ -64,8 +64,13 @@ def _unflatten(template: Any, flat: Dict[str, np.ndarray]) -> Any:
 
 
 def save_checkpoint(ckpt_dir: str, step: int, state: Any,
-                    meta: Optional[Dict] = None) -> str:
-    """Write ckpt-{step}.npz + ckpt-{step}.json atomically (tmp + rename)."""
+                    meta: Optional[Dict] = None,
+                    max_to_keep: int = 0) -> str:
+    """Write ckpt-{step}.npz + ckpt-{step}.json atomically (tmp + rename).
+
+    ``max_to_keep > 0`` prunes the oldest checkpoints beyond that count
+    (the reference kept every epoch snapshot; epoch-level keeps are cheap,
+    but step-level checkpointing wants a bound)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     base = os.path.join(ckpt_dir, f"ckpt-{step:08d}")
     flat = _flatten(state)
@@ -76,6 +81,13 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
     with open(base + ".json.tmp", "w") as fh:
         json.dump({"step": int(step), **(meta or {})}, fh, indent=2)
     os.replace(base + ".json.tmp", base + ".json")
+    if max_to_keep > 0:
+        existing = list_checkpoints(ckpt_dir)
+        for old_step in sorted(existing)[:-max_to_keep]:
+            os.remove(existing[old_step])
+            j = existing[old_step][:-len(".npz")] + ".json"
+            if os.path.exists(j):
+                os.remove(j)
     return base + ".npz"
 
 

@@ -105,6 +105,16 @@ class TestCheckpoint:
         assert list(ckpt.list_checkpoints(str(tmp_path))) == [5, 11, 20]
         assert ckpt.latest_checkpoint(str(tmp_path / "nope")) is None
 
+    def test_max_to_keep_prunes(self, tmp_path):
+        state = init_state(jax.random.key(0), MCFG, TCFG)
+        for s in range(1, 6):
+            ckpt.save_checkpoint(str(tmp_path), s, state, max_to_keep=2)
+        kept = list(ckpt.list_checkpoints(str(tmp_path)))
+        assert kept == [4, 5]
+        # JSON sidecars pruned with their npz
+        names = os.listdir(tmp_path)
+        assert not any(n.startswith("ckpt-00000001") for n in names)
+
     def test_shape_mismatch_rejected(self, tmp_path):
         state = init_state(jax.random.key(0), MCFG, TCFG)
         p = ckpt.save_checkpoint(str(tmp_path), 1, state)

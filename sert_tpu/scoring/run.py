@@ -27,7 +27,8 @@ def resolve_engine(sc: ScoreConfig, num_entities: int) -> str:
     if sc.use_pallas:
         return "pallas"
     if sc.engine != "auto":
-        if sc.engine not in ("dense", "streaming", "pallas", "approx"):
+        if sc.engine not in ("dense", "streaming", "pallas", "approx",
+                             "distributed"):
             raise ValueError(f"unknown scoring engine {sc.engine!r}")
         return sc.engine
     if jax.default_backend() == "tpu":
@@ -66,9 +67,17 @@ def score_topics(
 
     engine = resolve_engine(sc, E)
     prep = None
+    mesh = None
     if engine == "pallas":
         from sert_tpu.ops.exact_topk import prepare_entities
         prep = prepare_entities(_entity_matrix(params, cfg, sc.similarity))
+    elif engine == "distributed":
+        from sert_tpu.parallel.mesh import make_mesh
+        from sert_tpu.parallel.sharding import state_shardings
+        mesh = make_mesh(sc.mesh_shape)
+        # place params on the mesh once (entity axis over "model")
+        sh = state_shardings(params, mesh, cfg)
+        params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, sh)
 
     B = sc.query_batch
     k = min(sc.top_k, E)
@@ -96,6 +105,13 @@ def score_topics(
                                   jnp.asarray(m), similarity=sc.similarity)
             top_s, idx = jax.lax.approx_max_k(
                 scores, k, recall_target=sc.recall_target)
+            top_s, idx = np.asarray(top_s), np.asarray(idx)
+        elif engine == "distributed":
+            from sert_tpu.parallel.topk import distributed_topk
+            top_s, idx = distributed_topk(
+                params, cfg, jnp.asarray(t), jnp.asarray(m), mesh, k=k,
+                chunk=min(sc.entity_chunk, E), similarity=sc.similarity,
+                merge=sc.merge)
             top_s, idx = np.asarray(top_s), np.asarray(idx)
         else:  # streaming
             top_s, idx = streaming_topk(

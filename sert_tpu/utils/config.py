@@ -85,10 +85,15 @@ class ScoreConfig:
     aggregate: str = "sum_log_prob"  # log-linear per-term aggregation
     # Engine: "auto" picks pallas on TPU, else dense (small E) / streaming.
     # "approx" = dense scores + lax.approx_max_k (fast, recall ~0.99,
-    # materializes [Q, E] — not for the 10M configuration).
-    engine: str = "auto"             # auto|dense|streaming|pallas|approx
+    # materializes [Q, E] — not for the 10M configuration). "distributed"
+    # shards the entity matrix over mesh_shape's model axis (shard_map +
+    # all_gather/ring merge).
+    engine: str = "auto"    # auto|dense|streaming|pallas|approx|distributed
     recall_target: float = 0.99      # approx engine only
     use_pallas: bool = False         # legacy alias for engine="pallas"
+    # distributed engine: mesh axes and merge strategy
+    mesh_shape: Tuple[int, int] = (1, -1)   # (data, model); -1 = all devices
+    merge: str = "allgather"                # "allgather" | "ring"
 
 
 @dataclass(frozen=True)

@@ -134,6 +134,25 @@ class TestPallasEngine:
             a = {n for n, _ in run_a[qid]}
             assert len(d & a) >= 9  # recall target honored
 
+    @pytest.mark.parametrize("merge", ["allgather", "ring"])
+    def test_distributed_engine_through_glue(self, merge):
+        """score_topics(engine='distributed') on the fake 8-device mesh must
+        reproduce the dense run (E=40 divides the model axis; query batch
+        divides the data axis)."""
+        params = api.init_params(jax.random.key(21), CFG_LSE)
+        names = [f"e{i}" for i in range(37 + 3)]  # E=40 in CFG? build fresh
+        cfg = CFG_LSE.replace(num_entities=40)
+        params = api.init_params(jax.random.key(21), cfg)
+        topics = {f"q{i}": [1 + i, 2 + i] for i in range(6)}
+        run_d = score_topics(params, cfg, topics, names,
+                             ScoreConfig(top_k=7, engine="dense"))
+        run_x = score_topics(params, cfg, topics, names,
+                             ScoreConfig(top_k=7, engine="distributed",
+                                         mesh_shape=(2, 4), merge=merge,
+                                         query_batch=4))
+        for qid in topics:
+            assert [n for n, _ in run_d[qid]] == [n for n, _ in run_x[qid]]
+
     def test_score_topics_pallas_matches_dense(self):
         params = api.init_params(jax.random.key(12), CFG_LSE)
         names = [f"e{i}" for i in range(37)]

@@ -161,6 +161,58 @@ class TestAssoc:
         assert b.entities_for("d2") == [2]
 
 
+class TestFeeder:
+    def test_prefetch_order_and_completion(self):
+        from sert_tpu.data.feeder import PrefetchFeeder
+        items = [{"x": np.full((2,), i, np.int32)} for i in range(20)]
+        out = list(PrefetchFeeder(iter(items), put_fn=lambda b: b, depth=3))
+        assert [int(b["x"][0]) for b in out] == list(range(20))
+
+    def test_exception_propagates(self):
+        from sert_tpu.data.feeder import PrefetchFeeder
+
+        def gen():
+            yield {"x": np.zeros(1)}
+            raise RuntimeError("shard corrupted")
+
+        feeder = PrefetchFeeder(gen(), put_fn=lambda b: b)
+        it = iter(feeder)
+        next(it)
+        with pytest.raises(RuntimeError, match="shard corrupted"):
+            for _ in it:
+                pass
+
+    def test_deterministic_mode_bypasses_thread(self):
+        from sert_tpu.data.feeder import PrefetchFeeder
+        items = [1, 2, 3]
+        f = PrefetchFeeder(iter(items), put_fn=lambda b: b * 10,
+                           deterministic=True)
+        assert list(f) == [10, 20, 30]
+
+
+class TestBenchHarness:
+    def test_measure_entities_per_sec_cpu(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from benchmarks.score_bench import measure_entities_per_sec
+        r = measure_entities_per_sec(num_entities=2000, dim=16,
+                                     num_queries=8, vocab=100, k=5,
+                                     chunk=512, iters=1, sweeps_per_iter=2,
+                                     engine="streaming")
+        assert r["entities_per_sec"] > 0
+        assert r["engine"] == "streaming"
+
+    def test_measure_train_steps_cpu(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from benchmarks.score_bench import measure_train_steps_per_sec
+        r = measure_train_steps_per_sec(num_entities=50, vocab=100, dim=8,
+                                        batch_size=16, iters=2)
+        assert r["steps_per_sec"] > 0
+
+
 class TestSyntheticAndPrepare:
     def test_synthetic_deterministic(self):
         c1 = make_synthetic(num_entities=8, vocab_size=300, docs_per_entity=3,

@@ -139,8 +139,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         from sert_tpu.scoring.run import score_topics
         ds = InstanceDataset(args.data)
         resolved = pipeline.resolve_model_config(recipe, ds.meta)
-        params, vocab, registry = pipeline.load_scorer(
-            args.run_dir, args.data, resolved, step=args.step)
+        try:
+            params, vocab, registry = pipeline.load_scorer(
+                args.run_dir, args.data, resolved, step=args.step)
+        except FileNotFoundError as e:
+            raise SystemExit(
+                f"{e} — train first (python -m sert_tpu train ...) or pass "
+                f"--run-dir of a finished run")
+        except ValueError as e:
+            raise SystemExit(str(e))
         topics = read_topics(args.topics)
         encoded = encode_queries(topics, vocab, resolved.data)
         run = score_topics(params, resolved.model, encoded, registry.names,

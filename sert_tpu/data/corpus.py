@@ -92,16 +92,30 @@ def build_expert_associations(
 ) -> Associations:
     """Associate documents with experts by mention matching: a document is
     associated with every candidate whose name or e-mail occurs in its text
-    (the reference's authorship/e-mail heuristic, SURVEY.md section 3.1)."""
+    (the reference's authorship/e-mail heuristic, SURVEY.md section 3.1).
+
+    One combined case-insensitive alternation regex scans each document once
+    (longest mention first so overlapping mentions prefer the longer), then
+    matches map back to candidates — O(docs * text) instead of the
+    O(docs * candidates * mentions) of per-candidate searches, which at W3C
+    scale (~330k docs x ~1.1k candidates) is the difference between minutes
+    and hours."""
     assoc = Associations()
-    compiled = []
+    mention_to_ids: Dict[str, List[int]] = {}
     for cand_id, mentions in candidates.items():
-        pats = [re.compile(re.escape(m), re.I) for m in mentions if m]
-        compiled.append((registry.id(cand_id), pats))
+        ent = registry.id(cand_id)
+        for m in mentions:
+            if m:
+                mention_to_ids.setdefault(m.lower(), []).append(ent)
+    if not mention_to_ids:
+        return assoc
+    alternation = "|".join(
+        re.escape(m) for m in sorted(mention_to_ids, key=len, reverse=True))
+    pattern = re.compile(alternation, re.I)
     for doc_id, text in docs:
-        for ent_id, pats in compiled:
-            if any(p.search(text) for p in pats):
-                assoc.add(doc_id, ent_id)
+        for m in pattern.finditer(text):
+            for ent in mention_to_ids[m.group(0).lower()]:
+                assoc.add(doc_id, ent)
     return assoc
 
 

@@ -24,6 +24,12 @@ class PrefetchFeeder:
     pass a sharded put for pjit meshes). Exceptions in the worker propagate to
     the consumer. ``deterministic=True`` bypasses the thread entirely (test
     mode, SURVEY.md section 6 "race detection").
+
+    Shutdown contract: if the consumer stops early (exception in the train
+    step, break), call :meth:`close` — or use the feeder as a context
+    manager — so the worker thread stops instead of blocking forever on a
+    full queue while pinning device-resident batches. The worker's queue
+    puts poll a stop flag, so close() returns promptly.
     """
 
     _SENTINEL = object()
@@ -41,17 +47,48 @@ class PrefetchFeeder:
         if not deterministic:
             self._q: queue.Queue = queue.Queue(maxsize=depth)
             self._err: Optional[BaseException] = None
+            self._stop = threading.Event()
             self._thread = threading.Thread(target=self._worker, daemon=True)
             self._thread.start()
+
+    def _put_or_stop(self, item) -> bool:
+        """Blocking put that gives up when close() is called."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _worker(self) -> None:
         try:
             for b in self._batches:
-                self._q.put(self._put(b))
+                if self._stop.is_set() or not self._put_or_stop(self._put(b)):
+                    return
         except BaseException as e:  # propagate to consumer
             self._err = e
         finally:
-            self._q.put(self._SENTINEL)
+            self._put_or_stop(self._SENTINEL)
+
+    def close(self) -> None:
+        """Stop the worker and drain staged batches (releases their device
+        buffers). Idempotent; no-op in deterministic mode."""
+        if self._deterministic:
+            return
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
+
+    def __enter__(self) -> "PrefetchFeeder":
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()
 
     def __iter__(self) -> Iterator[Any]:
         if self._deterministic:

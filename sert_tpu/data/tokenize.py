@@ -30,7 +30,10 @@ which while who who's whom why why's with won't would wouldn't you you'd
 you'll you're you've your yours yourself yourselves
 """.split())
 
-_WORD_RE = re.compile(r"[a-z0-9][a-z0-9']*")
+# Case-insensitive: with lowercase=False the original casing is kept, so the
+# pattern must match uppercase spans too (a lowercase-only pattern would
+# silently truncate 'Hello' to 'ello').
+_WORD_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9']*")
 _NUM_RE = re.compile(r"^[0-9]+$")
 
 

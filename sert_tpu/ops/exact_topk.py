@@ -14,6 +14,17 @@ Cost: one matmul-bound Pallas sweep + one top-k over E/128 bins + one
 gather of (k+pad)*128 rows/query — measured ~20x faster end-to-end than
 XLA's TopK over the full score row at E=1M (benchmarks/NOTES.md).
 
+Precision caveat (in addition to the exact-tie caveat below): the DEFAULT
+prefilter multiplies in bf16, so "exact" holds for score margins above bf16
+resolution (~4e-3 relative). When the true k-th/(k+1)-th gap is finer —
+tightly clustered trained embeddings — boundary elements can be missed even
+though the RETURNED scores are fp32-honest. Mitigations, in cost order:
+``pad_bins`` (default 16) absorbs boundary reshuffles; and
+``prepare_entities(..., prefilter_dtype="float32")`` makes the prefilter
+full-precision (slower MXU passes, 2x prefilter memory). Note the XLA
+"fp32" dense oracle on TPU itself multiplies in bf16 passes at DEFAULT
+precision — the engines disagree only against a HIGHEST-precision oracle.
+
 Tie caveat: if MORE than ``pad`` bins tie exactly at theta beyond the k-th,
 an element could be missed; with continuous scores this has measure zero,
 and duplicate entity vectors (exact ties) can only be missed in favor of an
@@ -57,11 +68,14 @@ jax.tree_util.register_pytree_node(
 
 
 def prepare_entities(M: jax.Array, te: int = 2048,
-                     rescore_dtype: str = "float32") -> PreparedEntities:
+                     rescore_dtype: str = "float32",
+                     prefilter_dtype: str = "bfloat16") -> PreparedEntities:
     E, d = M.shape
     rdt = jnp.bfloat16 if rescore_dtype == "bfloat16" else jnp.float32
+    pdt = jnp.bfloat16 if prefilter_dtype == "bfloat16" else jnp.float32
     M_binned = _pad_to(M.astype(rdt), 0, LANES).reshape(-1, LANES, d)
-    return PreparedEntities(prepare_binmax_matrix(M, te=te), M_binned, E, d)
+    return PreparedEntities(prepare_binmax_matrix(M, te=te, dtype=pdt),
+                            M_binned, E, d)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pad_bins", "tq", "te",
@@ -69,7 +83,7 @@ def prepare_entities(M: jax.Array, te: int = 2048,
 def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
                         bias: Optional[jax.Array] = None,
                         alpha: Optional[jax.Array] = None,
-                        k: int = 100, pad_bins: int = 8,
+                        k: int = 100, pad_bins: int = 16,
                         tq: int = 256, te: int = 2048,
                         interpret: Optional[bool] = None,
                         fused_rescore: bool = True,
@@ -130,7 +144,7 @@ def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
 def exact_topk(R: jax.Array, M: jax.Array,
                bias: Optional[jax.Array] = None,
                alpha: Optional[jax.Array] = None,
-               k: int = 100, pad_bins: int = 8,
+               k: int = 100, pad_bins: int = 16,
                tq: int = 256, te: int = 2048,
                interpret: Optional[bool] = None,
                rescore_dtype: str = "float32",

@@ -49,11 +49,16 @@ def _pad_to(x: jax.Array, axis: int, mult: int, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def prepare_binmax_matrix(M: jax.Array, te: int = 2048) -> jax.Array:
+def prepare_binmax_matrix(M: jax.Array, te: int = 2048,
+                          dtype=jnp.bfloat16) -> jax.Array:
     """One-time cast+pad of the entity matrix for the binmax sweep. Keep the
     result resident across calls — re-preparing 512MB per sweep costs more
-    than the sweep itself (benchmarks/NOTES.md)."""
-    Mp = _pad_to(M.astype(jnp.bfloat16), 0, te)
+    than the sweep itself (benchmarks/NOTES.md).
+
+    ``dtype=jnp.float32`` gives a full-precision prefilter (slower MXU
+    passes, 2x memory) for score distributions whose top-k margins sit
+    below bf16 resolution — see ops/exact_topk.py precision caveat."""
+    Mp = _pad_to(M.astype(dtype), 0, te)
     return _pad_to(Mp, 1, LANES)
 
 
@@ -77,7 +82,7 @@ def score_binmax_prepared(R: jax.Array, Mp: jax.Array, num_entities: int,
     Q, d = R.shape
     E = num_entities
 
-    Rp = _pad_to(R.astype(jnp.bfloat16), 0, tq)
+    Rp = _pad_to(R.astype(Mp.dtype), 0, tq)
     Rp = _pad_to(Rp, 1, LANES)
     Qp, Ep, dp = Rp.shape[0], Mp.shape[0], Rp.shape[1]
     assert Mp.shape[1] == dp, "R/M dim mismatch after padding"

@@ -33,21 +33,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
+from sert_tpu.ops.score_binmax import LANES, _pad_to
 
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
-
-
-def _pad_to(x, axis, mult, value=0):
-    n = x.shape[axis]
-    pad = (-n) % mult
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths, constant_values=value)
 
 
 def _z_tile(p_ref, w_ref, b_ref, layout):

@@ -21,6 +21,13 @@ from sert_tpu.utils.config import ModelConfig, TrainConfig
 def make_sharded_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
                             mesh: Mesh, noise=None):
     """Returns (train_step, init_fn, put_fn) with mesh shardings applied."""
+    if mesh.shape.get("model", 1) > 1 and model_cfg.fused_softmax == "auto":
+        # pallas_call has no SPMD partitioning rule: under a model-sharded
+        # mesh the fused kernel would force GSPMD to replicate the entity-
+        # sharded matrix every step, defeating the TP sharding. The XLA
+        # composition partitions cleanly (logsumexp psum), so auto backs off;
+        # an explicit "on" is honored (single-host small-E cases).
+        model_cfg = model_cfg.replace(fused_softmax="off")
     step = make_train_step(model_cfg, train_cfg, noise=noise, jit=False)
 
     def host_init() -> TrainState:

@@ -92,7 +92,8 @@ def score_topics(
         if engine == "pallas":
             top_s, idx = pallas_topk(params, cfg, jnp.asarray(t),
                                      jnp.asarray(m), k=k,
-                                     similarity=sc.similarity, prep=prep)
+                                     similarity=sc.similarity, prep=prep,
+                                     normalize=sc.normalize_scores)
             top_s, idx = np.asarray(top_s), np.asarray(idx)
         elif engine == "dense":
             scores = np.asarray(dense_scores(

@@ -104,6 +104,7 @@ def train(
 
     jlog = JsonlLogger(os.path.join(out_dir, "train_log.jsonl"))
     n_micro = max(tcfg.steps_per_call, 1)
+    feeders = []
     try:
         for epoch in range(start_epoch, tcfg.num_epochs):
             epoch_cursor = cursor if epoch == start_epoch else None
@@ -112,6 +113,7 @@ def train(
             batches = _group_batches(batches, n_micro)
             feeder = PrefetchFeeder(batches, put_fn=_batch_put(put_fn),
                                     deterministic=deterministic_feed)
+            feeders.append(feeder)  # closed in the finally below
             last_cursor = epoch_cursor
             t_last = time.perf_counter()
             prev_step = int(state.step)
@@ -136,19 +138,25 @@ def train(
                         and step_i % tcfg.checkpoint_every_steps < n_micro):
                     ckpt.save_checkpoint(
                         ckpt_dir, step_i, state,
-                        {"epoch": epoch, "cursor": list(last_cursor), **meta_common})
+                        {"epoch": epoch, "cursor": list(last_cursor), **meta_common},
+                        max_to_keep=tcfg.keep_checkpoints)
             # End of epoch: snapshot (reference's per-epoch dump).
             jax.block_until_ready(state.params)
             step_i = int(state.step)
             ckpt.save_checkpoint(
                 ckpt_dir, step_i, state,
-                {"epoch": epoch + 1, "cursor": None, **meta_common})
+                {"epoch": epoch + 1, "cursor": None, **meta_common},
+                max_to_keep=tcfg.keep_checkpoints)
             log.info("epoch %d done at step %d%s", epoch, step_i,
                      (" (mean logged loss %.4f)" % float(np.mean(epoch_losses)))
                      if epoch_losses else "")
             jlog.log("epoch_end", epoch=epoch, step=step_i)
             cursor = None
     finally:
+        # Stop prefetch workers even when a step raised mid-epoch (else the
+        # worker blocks forever holding device-resident batches).
+        for f in feeders:
+            f.close()
         jlog.close()
     return state
 

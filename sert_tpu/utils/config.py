@@ -65,6 +65,7 @@ class TrainConfig:
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0     # 0 disables clipping
     checkpoint_every_steps: int = 0  # 0 = per-epoch only
+    keep_checkpoints: int = 0        # >0: prune to the newest N on disk
     seed: int = 0
     log_every_steps: int = 50
     # Mesh: (data_parallel, model_parallel) axis sizes; (1, 1) = single chip.
@@ -90,6 +91,10 @@ class ScoreConfig:
     # all_gather/ring merge).
     engine: str = "auto"    # auto|dense|streaming|pallas|approx|distributed
     recall_target: float = 0.99      # approx engine only
+    # Log-linear only: fold the exact softmax normalizer into run-file
+    # scores (one extra matmul-bound sweep on the pallas path). Rankings
+    # and all metrics are identical with False.
+    normalize_scores: bool = True
     use_pallas: bool = False         # legacy alias for engine="pallas"
     # distributed engine: mesh axes and merge strategy
     mesh_shape: Tuple[int, int] = (1, -1)   # (data, model); -1 = all devices

@@ -28,6 +28,12 @@ class TestTokenize:
     def test_apostrophe(self):
         assert tokenize("o'brien's code") == ["o'brien's", "code"]
 
+    def test_no_lowercase_keeps_words_whole(self):
+        # regression: a lowercase-only pattern truncated 'Hello' to 'ello'
+        assert tokenize("Hello World FOO bar", lowercase=False,
+                        filter_stopwords=False) == ["Hello", "World", "FOO",
+                                                    "bar"]
+
 
 class TestVocabulary:
     def test_build_order_and_filters(self):

@@ -76,6 +76,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--judged-only", action="store_true",
                    help="drop unjudged documents before scoring (trec_eval -J)")
 
+    p = sub.add_parser("sweep", help="evaluate EVERY epoch checkpoint and "
+                                     "report the best (reference workflow: "
+                                     "choose the epoch snapshot by metric)")
+    _add_recipe_arg(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--topics", required=True)
+    p.add_argument("--qrels", required=True)
+    p.add_argument("--measure", default="ndcg@100")
+
+    p = sub.add_parser("dump", help="export learned representations")
+    _add_recipe_arg(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--out", required=True, help="output .npz path")
+    p.add_argument("--step", type=int, default=None)
+
     p = sub.add_parser("e2e", help="synthetic recipe end to end")
     _add_recipe_arg(p)
     p.add_argument("--workdir", required=True)
@@ -167,6 +184,40 @@ def main(argv: Optional[List[str]] = None) -> int:
                                judged_only=args.judged_only)
         out = results if args.per_topic else results["all"]
         print(json.dumps(out, indent=2, sort_keys=True))
+        return 0
+
+    if args.cmd == "sweep":
+        recipe = _load_recipe(args.recipe)
+        from sert_tpu import pipeline
+        from sert_tpu.data.instances import InstanceDataset
+        results = pipeline.sweep_checkpoints(
+            recipe, args.data, args.run_dir, args.topics, args.qrels,
+            measure=args.measure)
+        print(json.dumps(results, indent=2, sort_keys=True))
+        return 0
+
+    if args.cmd == "dump":
+        recipe = _load_recipe(args.recipe)
+        from sert_tpu import pipeline
+        from sert_tpu.data.instances import InstanceDataset
+        from sert_tpu.models import api as model_api
+        import numpy as np
+        ds = InstanceDataset(args.data)
+        resolved = pipeline.resolve_model_config(recipe, ds.meta)
+        params, vocab, registry = pipeline.load_scorer(
+            args.run_dir, args.data, resolved, step=args.step)
+        out = {
+            "word_emb": np.asarray(params["word_emb"]),
+            "entity_matrix": np.asarray(
+                model_api.entity_matrix(params, resolved.model)),
+            "terms": np.asarray(list(vocab.iter_terms()), dtype=object),
+            "entities": np.asarray(registry.names, dtype=object),
+        }
+        bias = model_api.entity_bias(params, resolved.model)
+        if bias is not None:
+            out["entity_bias"] = np.asarray(bias)
+        np.savez(args.out, **out)
+        print(f"wrote {', '.join(out)} to {args.out}")
         return 0
 
     if args.cmd == "e2e":

@@ -89,6 +89,42 @@ def load_scorer(run_dir: str, data_dir: str, recipe: RecipeConfig,
     return state.params, vocab, registry
 
 
+def sweep_checkpoints(recipe: RecipeConfig, data_dir: str, run_dir: str,
+                      topics_path: str, qrels_path: str,
+                      measure: str = "ndcg@100") -> Dict:
+    """Evaluate EVERY checkpoint in the run (the reference's per-epoch
+    snapshot selection workflow): returns {"per_step": {step: metric},
+    "best_step": ..., "best": ...}."""
+    from sert_tpu.data.instances import InstanceDataset
+    from sert_tpu.eval.trec import read_qrels, read_topics
+    from sert_tpu.train import checkpoint as ckpt_mod
+    from sert_tpu.train.step import init_state
+
+    ds = InstanceDataset(data_dir)
+    resolved = resolve_model_config(recipe, ds.meta)
+    vocab = Vocabulary.load(os.path.join(data_dir, VOCAB_NAME))
+    registry = EntityRegistry.load(os.path.join(data_dir, ENTITIES_NAME))
+    topics = read_topics(topics_path)
+    qrels = read_qrels(qrels_path)
+    encoded = encode_queries(topics, vocab, resolved.data)
+
+    template = init_state(jax.random.key(0), resolved.model, resolved.train)
+    per_step: Dict[str, float] = {}
+    ckpts = ckpt_mod.list_checkpoints(os.path.join(run_dir, "checkpoints"))
+    if not ckpts:
+        raise FileNotFoundError(f"no checkpoints in {run_dir}")
+    for step, path in ckpts.items():
+        state, _ = ckpt_mod.load_checkpoint(path, template)
+        run = score_topics(state.params, resolved.model, encoded,
+                           registry.names, resolved.score)
+        res = evaluate_run(run, qrels, measures=(measure,))
+        per_step[str(step)] = res["all"][measure]
+        log.info("sweep: step %d %s=%.4f", step, measure, per_step[str(step)])
+    best_step = max(per_step, key=per_step.get)
+    return {"per_step": per_step, "best_step": int(best_step),
+            "best": per_step[best_step], "measure": measure}
+
+
 def run_end_to_end(col: SyntheticCollection, recipe: RecipeConfig,
                    workdir: str) -> Dict[str, Dict[str, float]]:
     """prepare -> train -> score -> evaluate; returns per-topic metrics

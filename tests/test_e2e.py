@@ -29,6 +29,33 @@ class TestEndToEnd:
         agg = results["all"]
         assert agg["ndcg@100"] > 0.85, agg
 
+    def test_sweep_and_dump(self, tmp_path):
+        from sert_tpu import pipeline
+        col = recipes.tiny_spec(seed=3).build()
+        recipe = recipes.tiny_recipe("loglinear")
+        pipeline.run_end_to_end(col, recipe, str(tmp_path))
+        res = pipeline.sweep_checkpoints(
+            recipe, str(tmp_path / "data"), str(tmp_path / "run"),
+            str(tmp_path / "run" / "topics.tsv"),
+            str(tmp_path / "run" / "qrels.trec"))
+        assert res["best"] > 0.9
+        assert str(res["best_step"]) in res["per_step"]
+        assert len(res["per_step"]) == recipe.train.num_epochs
+
+        from sert_tpu.cli import main
+        out = str(tmp_path / "emb.npz")
+        import json as _json
+        from sert_tpu.utils.config import save_config
+        rp = str(tmp_path / "r.json")
+        save_config(recipe, rp)
+        rc = main(["dump", "--recipe", rp, "--data", str(tmp_path / "data"),
+                   "--run-dir", str(tmp_path / "run"), "--out", out])
+        assert rc == 0
+        import numpy as _np
+        z = _np.load(out, allow_pickle=True)
+        assert z["entity_matrix"].shape[0] == len(z["entities"])
+        assert z["word_emb"].shape[0] == len(z["terms"])
+
     def test_scorer_reload_from_checkpoint(self, tmp_path):
         """Query-side loads a chosen snapshot (reference behavior) and
         reproduces the same run."""

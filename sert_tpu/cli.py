@@ -223,6 +223,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.cmd == "e2e":
         recipe = _load_recipe(args.recipe)
         from sert_tpu import pipeline, recipes
+        if recipe.name == "synthetic_10m_scoring":
+            raise SystemExit(
+                "synthetic_10m_scoring is a scoring-only benchmark recipe; "
+                "run `python benchmarks/sharded_bench.py` instead")
         spec = recipes.SYNTH_SPECS.get(recipe.name) or recipes.tiny_spec()
         col = spec.build()
         results = pipeline.run_end_to_end(col, recipe, args.workdir)

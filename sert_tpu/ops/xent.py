@@ -113,7 +113,7 @@ def _bwd_p_kernel(p_ref, w_ref, b_ref, lse_ref, lab_ref, dp_ref,
 
 # --------------------------- host-side wrappers -----------------------------
 
-def _specs(tb, te, dp, layout, B, nE):
+def _specs(tb, te, dp, layout):
     p_spec_i = pl.BlockSpec((tb, dp), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     if layout == "de":
@@ -127,7 +127,7 @@ def _specs(tb, te, dp, layout, B, nE):
 def _fwd_partials(pooled, W, b, tb, te, layout, interpret):
     B, dp = pooled.shape
     nB, nE = B // tb, (W.shape[1] if layout == "de" else W.shape[0]) // te
-    p_spec, w_spec, b_spec = _specs(tb, te, dp, layout, B, nE)
+    p_spec, w_spec, b_spec = _specs(tb, te, dp, layout)
     w_idx = ((lambda i, j: (0, j)) if layout == "de" else (lambda i, j: (j, 0)))
     out_shape = [jax.ShapeDtypeStruct((nE, 1, B), jnp.float32)] * 2
     out_spec = pl.BlockSpec((1, 1, tb), lambda i, j: (j, 0, i),
@@ -213,7 +213,7 @@ def _xent_bwd(layout, tb, te, interpret, residuals, g):
     lse_m = jnp.where(row < B, lse, 1e30)[:, None]       # [Bp, 1]
     lab_m = jnp.where(row < B, labels_p, -1)[:, None]    # [Bp, 1]
 
-    p_spec, w_spec, b_spec = _specs(tb, te, dp, layout, Bp, nE)
+    p_spec, w_spec, b_spec = _specs(tb, te, dp, layout)
     # batch-row blocks: row index is i — the LAST grid axis in the (j, i)
     # dW kernel, the FIRST in the (i, j) dpooled kernel.
     def row_spec(pos):

@@ -56,7 +56,11 @@ def measure_entities_per_sec(
     prep = None
     if engine == "pallas":
         from sert_tpu.ops.exact_topk import prepare_entities
-        prep = prepare_entities(_entity_matrix(params, cfg, "dot"))
+        # Throughput configuration: bf16 rescore (same numeric class as the
+        # bf16 prefilter and as TPU's DEFAULT-precision f32 matmuls; the
+        # scoring CLI default remains fp32 rescore).
+        prep = prepare_entities(_entity_matrix(params, cfg, "dot"),
+                                rescore_dtype="bfloat16")
 
     n_sweep = sweeps_per_iter
 

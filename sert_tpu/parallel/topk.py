@@ -41,17 +41,96 @@ def _merge_topk(s_a, i_a, s_b, i_b, k):
     return new_s, jnp.take_along_axis(i, sel, axis=1)
 
 
+def _local_lse(term_emb, mask, M_shard, bias_shard, chunk):
+    """Online per-term (max, sumexp) over the LOCAL entity rows — the
+    log-linear normalizer contribution of this shard, matmul-bound scan."""
+    rows = M_shard.shape[0]
+    Q, T = mask.shape
+    n_chunks = max(-(-rows // chunk), 1)
+    pad = n_chunks * chunk - rows
+    M_p = jnp.pad(M_shard, ((0, pad), (0, 0)))
+    b_p = jnp.pad(bias_shard, (0, pad))
+
+    def body(carry, ci):
+        run_max, run_sum = carry
+        lo = ci * chunk
+        Mc = jax.lax.dynamic_slice_in_dim(M_p, lo, chunk, axis=0)
+        bc = jax.lax.dynamic_slice_in_dim(b_p, lo, chunk)
+        z = jnp.einsum("qtd,cd->qtc", term_emb.astype(jnp.float32), Mc) + bc
+        z = jnp.where(((lo + jnp.arange(chunk)) < rows)[None, None, :], z,
+                      -jnp.inf)
+        m_new = jnp.maximum(run_max, jnp.max(z, axis=-1))
+        run_sum = (run_sum * jnp.exp(run_max - m_new)
+                   + jnp.sum(jnp.exp(z - m_new[:, :, None]), axis=-1))
+        return (m_new, run_sum), None
+
+    init = (jnp.full((Q, T), -jnp.inf), jnp.zeros((Q, T), jnp.float32))
+    init = tuple(jax.lax.pvary(x, ("data", "model")) for x in init)
+    (run_max, run_sum), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return run_max, run_sum
+
+
+def _local_binmax_topk(R, mask, M_shard, bias_shard, k, is_ll,
+                       pad_bins=16, lanes=128):
+    """Per-shard top-k via the bin-max prefilter, in partitionable XLA.
+
+    Same algorithm as ops/exact_topk but with the local scores materialized
+    once ([Q, rows_local] transient) so candidates are GATHERED from them
+    instead of rescored — avoiding the giant top_k is the win on pods, where
+    rows_local = E / n_shards keeps the transient modest. The fixed-memory
+    alternative remains local_engine="scan"."""
+    rows = M_shard.shape[0]
+    Q = R.shape[0]
+    pad = (-rows) % lanes
+    M_p = jnp.pad(M_shard, ((0, pad), (0, 0)))
+    z = jnp.dot(R.astype(jnp.float32), M_p.T,
+                preferred_element_type=jnp.float32)          # [Q, rows_p]
+    if is_ll:
+        b_p = jnp.pad(bias_shard, (0, pad))
+        alpha = jnp.sum(mask.astype(jnp.float32), axis=-1)   # |q| per query
+        z = z + alpha[:, None] * b_p[None, :]
+    col = jnp.arange(rows + pad)
+    z = jnp.where(col[None, :] < rows, z, -jnp.inf)
+
+    bins = jnp.max(z.reshape(Q, -1, lanes), axis=-1)         # [Q, n_bins]
+    n_bins = bins.shape[1]
+    k_local = min(k, rows)
+    nb = min(k_local + pad_bins, n_bins)
+    _, bin_idx = jax.lax.top_k(bins, nb)                     # [Q, nb]
+    ent_idx = (bin_idx[:, :, None] * lanes
+               + jnp.arange(lanes)[None, None, :]).reshape(Q, nb * lanes)
+    safe = jax.lax.optimization_barrier(ent_idx)
+    cand = jnp.take_along_axis(z, safe, axis=1)              # [Q, nb*lanes]
+    top_s, sel = jax.lax.top_k(cand, k_local)
+    top_i = jnp.take_along_axis(ent_idx, sel, axis=1)
+    if k_local < k:  # tiny shard: pad to the global k for the merge
+        top_s = jnp.pad(top_s, ((0, 0), (0, k - k_local)),
+                        constant_values=-jnp.inf)
+        top_i = jnp.pad(top_i, ((0, 0), (0, k - k_local)))
+    return top_s, top_i
+
+
 def _shard_body(R, term_emb, mask, M_shard, bias_shard, *, k, chunk, is_ll,
-                merge, axis):
+                merge, axis, local_engine):
     """Runs on each model-axis device inside shard_map."""
     n_shards = jax.lax.axis_size(axis)
     my = jax.lax.axis_index(axis)
     rows = M_shard.shape[0]
     offset = my * rows
 
-    top_s, top_i, run_max, run_sum = chunked_topk_core(
-        R, term_emb, mask, M_shard, bias_shard, k, chunk, is_ll,
-        vary_axes=("data", "model"))
+    if local_engine == "binmax":
+        top_s, top_i = _local_binmax_topk(R, mask, M_shard, bias_shard, k,
+                                          is_ll)
+        run_max = run_sum = None
+        if is_ll:
+            run_max, run_sum = _local_lse(term_emb, mask, M_shard,
+                                          bias_shard, chunk)
+    elif local_engine == "scan":
+        top_s, top_i, run_max, run_sum = chunked_topk_core(
+            R, term_emb, mask, M_shard, bias_shard, k, chunk, is_ll,
+            vary_axes=("data", "model"))
+    else:
+        raise ValueError(f"unknown local engine {local_engine!r}")
     top_i = top_i + offset
 
     if is_ll:
@@ -90,13 +169,18 @@ def _shard_body(R, term_emb, mask, M_shard, bias_shard, *, k, chunk, is_ll,
 def distributed_topk(params, cfg: ModelConfig, term_ids: jax.Array,
                      num_terms: jax.Array, mesh: Mesh, k: int = 100,
                      chunk: int = 32768, similarity: str = "dot",
-                     merge: str = "allgather"
+                     merge: str = "allgather",
+                     local_engine: str = "binmax"
                      ) -> Tuple[jax.Array, jax.Array]:
     """Global top-k over an entity matrix sharded on mesh axis ``model``.
 
     Queries shard over ``data``; every entity shard sees every query in its
     data-row. Entity count must divide evenly by the model-axis size (pad
     the entity matrix upstream if not — recipes do).
+
+    ``local_engine``: "binmax" (default — the exact prefilter algorithm per
+    shard, O(Q * E/n_shards) transient) or "scan" (fixed-memory chunked
+    sweep with per-chunk top-k merges).
     """
     E = api.entity_matrix(params, cfg).shape[0]
     k = min(k, E)
@@ -113,7 +197,8 @@ def distributed_topk(params, cfg: ModelConfig, term_ids: jax.Array,
         term_emb = jnp.zeros(mask.shape + (1,), jnp.float32)  # placeholder
 
     body = functools.partial(_shard_body, k=k, chunk=chunk, is_ll=is_ll,
-                             merge=merge, axis="model")
+                             merge=merge, axis="model",
+                             local_engine=local_engine)
     # check_vma=False: after the all_gather/ring merge every model-axis
     # device holds the same winners, but the static varying-axes analysis
     # cannot see through top_k to infer that replication.

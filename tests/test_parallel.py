@@ -187,17 +187,33 @@ class TestMeshTrainLoop:
 class TestDistributedTopk:
     @pytest.mark.parametrize("cfg", [CFG_LL, CFG_LSE], ids=["loglinear", "lse"])
     @pytest.mark.parametrize("merge", ["allgather", "ring"])
-    def test_matches_single_device(self, cfg, merge):
+    @pytest.mark.parametrize("local_engine", ["scan", "binmax"])
+    def test_matches_single_device(self, cfg, merge, local_engine):
         mesh = make_mesh((2, 4))
         params = api.init_params(jax.random.key(7), cfg)
         term_ids, num_terms = _queries(np.random.default_rng(7))
         want_s, want_i = streaming_topk(params, cfg, term_ids, num_terms,
                                         k=8, chunk=16)
         got_s, got_i = distributed_topk(params, cfg, term_ids, num_terms,
-                                        mesh, k=8, chunk=8, merge=merge)
+                                        mesh, k=8, chunk=8, merge=merge,
+                                        local_engine=local_engine)
         np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+    def test_binmax_local_engine_k_exceeds_shard(self):
+        """k larger than a shard's row count: local results pad with -inf
+        and the merge still recovers the exact global top-k."""
+        mesh = make_mesh((1, 8))
+        cfg = CFG_LSE  # E=40 -> 5 rows/shard < k=16
+        params = api.init_params(jax.random.key(9), cfg)
+        term_ids, num_terms = _queries(np.random.default_rng(9), Q=8)
+        want_s, _ = streaming_topk(params, cfg, term_ids, num_terms,
+                                   k=16, chunk=16)
+        got_s, _ = distributed_topk(params, cfg, term_ids, num_terms, mesh,
+                                    k=16, chunk=8, local_engine="binmax")
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                                   rtol=1e-4, atol=1e-5)
 
     def test_uneven_shard_rejected(self):
         mesh = make_mesh((1, 8))

@@ -51,13 +51,33 @@ def prepare(
     """
     os.makedirs(out_dir, exist_ok=True)
 
-    log.info("prepare: pass 1 (vocabulary) over %d docs (workers=%d)",
-             len(docs), cfg.num_workers)
+    native = None
+    if use_native:
+        from sert_tpu.native import loader as native_loader
+        native = native_loader.maybe_load()
+    native_text = native if (native is not None
+                             and getattr(native, "has_text", False)) else None
+
+    log.info("prepare: pass 1 (vocabulary) over %d docs (workers=%d, "
+             "native_text=%s)", len(docs), cfg.num_workers,
+             native_text is not None)
+    tok_opts = dict(lowercase=cfg.lowercase,
+                    filter_stopwords=cfg.filter_stopwords,
+                    min_token_len=cfg.min_token_len,
+                    drop_numeric=cfg.drop_numeric)
     if cfg.num_workers > 0:
         from sert_tpu.data.parallel_prepare import parallel_term_counts
         counts = parallel_term_counts(list(docs.values()), cfg,
                                       cfg.num_workers)
         vocab = Vocabulary.from_counter(counts, max_size=cfg.vocab_max_size,
+                                        min_count=cfg.vocab_min_count)
+    elif native_text is not None:
+        from collections import Counter
+        counter = native_text.make_counter(**tok_opts)
+        for text in docs.values():
+            counter.add(text)
+        vocab = Vocabulary.from_counter(Counter(counter.counts()),
+                                        max_size=cfg.vocab_max_size,
                                         min_count=cfg.vocab_min_count)
     else:
         vocab = Vocabulary.build(
@@ -69,11 +89,6 @@ def prepare(
     registry.save(os.path.join(out_dir, ENTITIES_NAME))
     assoc.save(os.path.join(out_dir, ASSOC_NAME))
 
-    native = None
-    if use_native:
-        from sert_tpu.native import loader as native_loader
-        native = native_loader.maybe_load()
-
     log.info("prepare: pass 2 (windows) vocab=%d entities=%d", len(vocab), len(registry))
     writer = InstanceWriter(
         out_dir,
@@ -83,8 +98,8 @@ def prepare(
     )
     def encoded_docs():
         """(doc_id, entity_ids, token_ids) for docs with associations, in
-        deterministic corpus order; tokenization optionally fans out over a
-        process pool."""
+        deterministic corpus order; tokenization runs in C++ when the native
+        lib is built, else optionally fans out over a process pool."""
         items = [(doc_id, text) for doc_id, text in docs.items()
                  if assoc.entities_for(doc_id)]
         if cfg.num_workers > 0:
@@ -92,6 +107,11 @@ def prepare(
             for doc_id, token_ids in parallel_encode(
                     items, cfg, vocab.term_to_id, cfg.num_workers):
                 yield doc_id, assoc.entities_for(doc_id), token_ids
+        elif native_text is not None:
+            nv = native_text.make_vocab(list(vocab.iter_terms()), **tok_opts)
+            for doc_id, text in items:
+                yield (doc_id, assoc.entities_for(doc_id),
+                       nv.encode(text).tolist())
         else:
             for doc_id, text in items:
                 yield (doc_id, assoc.entities_for(doc_id),

@@ -18,6 +18,68 @@ _cached: Optional["_NativeWindows"] = None
 _load_attempted = False
 
 
+class NativeVocab:
+    """Handle wrapper for the C++ term->id encoder. Tokenization filters
+    that shaped the vocabulary (stopwords etc.) are irrelevant at encode
+    time beyond lowercasing — filtered terms are simply absent — but the
+    same options are applied for exact parity with the Python path."""
+
+    def __init__(self, lib: ctypes.CDLL, terms, lowercase=True,
+                 filter_stopwords=True, min_token_len=1, drop_numeric=False):
+        self._lib = lib
+        blob = b"\0".join(t.encode() for t in terms) + b"\0"
+        self._n = len(terms)
+        self._handle = lib.sert_vocab_create(
+            blob, self._n, int(lowercase), int(filter_stopwords),
+            int(min_token_len), int(drop_numeric))
+
+    def encode(self, text: str) -> np.ndarray:
+        data = text.encode()
+        cap = max(len(data), 1)
+        out = np.empty(cap, np.int32)
+        n = self._lib.sert_vocab_encode(
+            self._handle, data, len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+        return out[:n]
+
+    def __del__(self):
+        try:
+            self._lib.sert_vocab_free(self._handle)
+        except Exception:
+            pass
+
+
+class NativeCounter:
+    """Handle wrapper for the C++ token counter (vocabulary pass 1)."""
+
+    def __init__(self, lib: ctypes.CDLL, lowercase=True,
+                 filter_stopwords=True, min_token_len=1, drop_numeric=False):
+        self._lib = lib
+        self._handle = lib.sert_counter_create(
+            int(lowercase), int(filter_stopwords), int(min_token_len),
+            int(drop_numeric))
+
+    def add(self, text: str) -> None:
+        data = text.encode()
+        self._lib.sert_counter_add(self._handle, data, len(data))
+
+    def counts(self) -> dict:
+        size = self._lib.sert_counter_serialize(self._handle)
+        buf = ctypes.create_string_buffer(size)
+        self._lib.sert_counter_copy(self._handle, buf)
+        out = {}
+        for line in bytes(buf).decode().splitlines():
+            term, _, count = line.rpartition("\t")
+            out[term] = int(count)
+        return out
+
+    def __del__(self):
+        try:
+            self._lib.sert_counter_free(self._handle)
+        except Exception:
+            pass
+
+
 class _NativeWindows:
     def __init__(self, lib: ctypes.CDLL):
         self._lib = lib
@@ -44,6 +106,37 @@ class _NativeWindows:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32)]
+        # text pipeline (may be absent in a stale .so; probed by hasattr)
+        self.has_text = hasattr(lib, "sert_vocab_create")
+        if self.has_text:
+            lib.sert_counter_create.restype = ctypes.c_void_p
+            lib.sert_counter_create.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int]
+            lib.sert_counter_add.restype = None
+            lib.sert_counter_add.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
+            lib.sert_counter_serialize.restype = ctypes.c_int64
+            lib.sert_counter_serialize.argtypes = [ctypes.c_void_p]
+            lib.sert_counter_copy.restype = None
+            lib.sert_counter_copy.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            lib.sert_counter_free.restype = None
+            lib.sert_counter_free.argtypes = [ctypes.c_void_p]
+            lib.sert_vocab_create.restype = ctypes.c_void_p
+            lib.sert_vocab_create.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int64, ctypes.c_int]
+            lib.sert_vocab_encode.restype = ctypes.c_int64
+            lib.sert_vocab_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+            lib.sert_vocab_free.restype = None
+            lib.sert_vocab_free.argtypes = [ctypes.c_void_p]
+
+    def make_counter(self, **kw) -> "NativeCounter":
+        return NativeCounter(self._lib, **kw)
+
+    def make_vocab(self, terms, **kw) -> "NativeVocab":
+        return NativeVocab(self._lib, terms, **kw)
 
     def extract_windows(
         self,

@@ -87,6 +87,59 @@ class TestNativeParity:
         np.testing.assert_array_equal(got_l, want_l)
         np.testing.assert_array_equal(got_e, want_e)
 
+    def test_text_counter_and_encode_parity(self, native):
+        if not getattr(native, "has_text", False):
+            pytest.skip("stale .so without the text API")
+        from collections import Counter
+        from sert_tpu.data.tokenize import tokenize
+        from sert_tpu.data.vocab import Vocabulary
+        texts = ["Hello, the World! it's o'brien's 42 code; Résumé",
+                 "the THE cat 007 a1 'quoted' and   spaces\ttabs\nnewlines"]
+        for lc in (True, False):
+            for dn in (True, False):
+                want = Counter()
+                for t in texts:
+                    want.update(tokenize(t, lowercase=lc, drop_numeric=dn))
+                c = native.make_counter(lowercase=lc, drop_numeric=dn)
+                for t in texts:
+                    c.add(t)
+                assert c.counts() == dict(want)
+        v = Vocabulary.build([tokenize(t) for t in texts], min_count=1)
+        nv = native.make_vocab(list(v.iter_terms()))
+        for t in texts + ["zzz unseen", ""]:
+            assert nv.encode(t).tolist() == v.encode(tokenize(t))
+
+    def test_prepare_native_text_identical(self, native, tmp_path):
+        """prepare with the C++ text pipeline must emit byte-identical
+        artifacts to the pure-Python path."""
+        if not getattr(native, "has_text", False):
+            pytest.skip("stale .so without the text API")
+        from sert_tpu.data import Associations, EntityRegistry, InstanceDataset
+        from sert_tpu.data.prepare import prepare
+        from sert_tpu.data.synthetic import make_synthetic
+        from sert_tpu.data.vocab import Vocabulary
+        from sert_tpu.utils.config import DataConfig
+
+        col = make_synthetic(num_entities=6, vocab_size=250, docs_per_entity=3,
+                             doc_len=30, num_topics=3, seed=4)
+        reg = EntityRegistry(col.entities)
+        assoc = Associations()
+        for d, es in col.doc_entities.items():
+            for e in es:
+                assoc.add(d, reg.id(e))
+        cfg = DataConfig(window_size=5, vocab_min_count=1)
+        d1, d2 = str(tmp_path / "nat"), str(tmp_path / "py")
+        prepare(col.docs, assoc, reg, d1, cfg, use_native=True)
+        prepare(col.docs, assoc, reg, d2, cfg, use_native=False)
+        va = Vocabulary.load(d1 + "/vocab.json")
+        vb = Vocabulary.load(d2 + "/vocab.json")
+        assert va.content_hash() == vb.content_hash()
+        assert va.counts == vb.counts
+        a, _ = next(InstanceDataset(d1).iter_batches(16, epoch=0))
+        b, _ = next(InstanceDataset(d2).iter_batches(16, epoch=0))
+        np.testing.assert_array_equal(a["windows"], b["windows"])
+        np.testing.assert_array_equal(a["entities"], b["entities"])
+
     def test_prepare_uses_native(self, native, tmp_path):
         """prepare(use_native=True) must produce byte-identical shards to the
         numpy path."""

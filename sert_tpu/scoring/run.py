@@ -81,6 +81,35 @@ def score_topics(
 
     B = sc.query_batch
     k = min(sc.top_k, E)
+
+    def dispatch(t, m):
+        """Queue one device batch; returns device arrays WITHOUT syncing —
+        all batches dispatch back-to-back so per-call latency (24ms on the
+        tunneled platform, benchmarks/NOTES.md) pipelines instead of
+        serializing on a host fetch per batch."""
+        t, m = jnp.asarray(t), jnp.asarray(m)
+        if engine == "pallas":
+            return pallas_topk(params, cfg, t, m, k=k,
+                               similarity=sc.similarity, prep=prep,
+                               normalize=sc.normalize_scores)
+        if engine == "dense":
+            scores = dense_scores(params, cfg, t, m,
+                                  similarity=sc.similarity)
+            return jax.lax.top_k(scores, k)
+        if engine == "approx":
+            scores = dense_scores(params, cfg, t, m,
+                                  similarity=sc.similarity)
+            return jax.lax.approx_max_k(scores, k,
+                                        recall_target=sc.recall_target)
+        if engine == "distributed":
+            from sert_tpu.parallel.topk import distributed_topk
+            return distributed_topk(params, cfg, t, m, mesh, k=k,
+                                    chunk=min(sc.entity_chunk, E),
+                                    similarity=sc.similarity, merge=sc.merge)
+        return streaming_topk(params, cfg, t, m, k=k, chunk=sc.entity_chunk,
+                              similarity=sc.similarity)
+
+    pending = []
     for lo in range(0, len(qids), B):
         hi = min(lo + B, len(qids))
         n = hi - lo
@@ -88,38 +117,10 @@ def score_topics(
         t = np.zeros((B, max_terms), np.int32)
         m = np.zeros((B,), np.int32)
         t[:n], m[:n] = term_ids[lo:hi], num_terms[lo:hi]
+        pending.append((lo, n, m, dispatch(t, m)))
 
-        if engine == "pallas":
-            top_s, idx = pallas_topk(params, cfg, jnp.asarray(t),
-                                     jnp.asarray(m), k=k,
-                                     similarity=sc.similarity, prep=prep,
-                                     normalize=sc.normalize_scores)
-            top_s, idx = np.asarray(top_s), np.asarray(idx)
-        elif engine == "dense":
-            scores = np.asarray(dense_scores(
-                params, cfg, jnp.asarray(t), jnp.asarray(m),
-                similarity=sc.similarity))
-            idx = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
-            top_s = np.take_along_axis(scores, idx, axis=1)
-        elif engine == "approx":
-            scores = dense_scores(params, cfg, jnp.asarray(t),
-                                  jnp.asarray(m), similarity=sc.similarity)
-            top_s, idx = jax.lax.approx_max_k(
-                scores, k, recall_target=sc.recall_target)
-            top_s, idx = np.asarray(top_s), np.asarray(idx)
-        elif engine == "distributed":
-            from sert_tpu.parallel.topk import distributed_topk
-            top_s, idx = distributed_topk(
-                params, cfg, jnp.asarray(t), jnp.asarray(m), mesh, k=k,
-                chunk=min(sc.entity_chunk, E), similarity=sc.similarity,
-                merge=sc.merge)
-            top_s, idx = np.asarray(top_s), np.asarray(idx)
-        else:  # streaming
-            top_s, idx = streaming_topk(
-                params, cfg, jnp.asarray(t), jnp.asarray(m),
-                k=k, chunk=sc.entity_chunk, similarity=sc.similarity)
-            top_s, idx = np.asarray(top_s), np.asarray(idx)
-
+    for lo, n, m, (top_s, idx) in pending:
+        top_s, idx = np.asarray(top_s), np.asarray(idx)   # sync point
         for qi in range(n):
             qid = qids[lo + qi]
             if m[qi] == 0:

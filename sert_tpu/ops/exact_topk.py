@@ -136,9 +136,43 @@ def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
         sc = sc + a * bias.astype(jnp.float32)[ent_safe]
     sc = jnp.where(valid, sc, -jnp.inf)
 
-    top_s, sel = jax.lax.top_k(sc, k)
-    top_i = jnp.take_along_axis(ent_idx, sel, axis=1)
-    return top_s, top_i
+    return _final_select(sc, ent_idx, bin_idx, k, nb)
+
+
+def _final_select(sc: jax.Array, ent_idx: jax.Array, bin_idx: jax.Array,
+                  k: int, nb: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over the candidate scores [Q, nb*128].
+
+    Fast path: per-bin top-m then one small merge (~5x faster than a flat
+    top_k at the benchmark shape — benchmarks/NOTES.md). A bin deeper than
+    its top-m can hide a winner ONLY if its m-th value >= the merged k-th
+    value; that condition is checked exactly, and the (rare — needs >= m
+    true winners packed into one 128-entity bin) failure falls back to the
+    flat top_k via lax.cond, so the result is always exact.
+    """
+    Q = sc.shape[0]
+    m = 8 if k <= 256 else 16
+
+    def flat(_):
+        top_s, sel = jax.lax.top_k(sc, k)
+        return top_s, jnp.take_along_axis(ent_idx, sel, axis=1)
+
+    if nb * m < k:
+        return flat(None)
+
+    v = sc.reshape(Q, nb, LANES)
+    tv, tl = jax.lax.top_k(v, m)                           # [Q, nb, m]
+    cand_s = tv.reshape(Q, nb * m)
+    # candidate entity ids arithmetically (ent_idx[q, b*128+l] = bin*128+l;
+    # a take_along_axis gather here costs more than the whole selection)
+    cand_i = (bin_idx[:, :, None] * LANES + tl).reshape(Q, nb * m)
+    top_s, sel = jax.lax.top_k(cand_s, k)
+    top_i = jnp.take_along_axis(cand_i, sel, axis=1)
+
+    theta = top_s[:, -1]                                   # k-th best [Q]
+    suspect = jnp.any(tv[:, :, m - 1] >= theta[:, None])
+
+    return jax.lax.cond(suspect, flat, lambda _: (top_s, top_i), None)
 
 
 def exact_topk(R: jax.Array, M: jax.Array,

@@ -100,6 +100,29 @@ class TestExactTopk:
         want_sc = np.take_along_axis(dense, want_i, axis=1)
         np.testing.assert_allclose(got_sc, want_sc, rtol=1e-3, atol=2e-2)
 
+    def test_packed_winners_trigger_exact_fallback(self):
+        """Adversarial case for the hierarchical final selection: >m true
+        winners packed into ONE 128-entity bin (duplicated vectors) must
+        still return the exact top-k via the verified fallback."""
+        rng = np.random.default_rng(8)
+        d, E, k = 16, 640, 30
+        M = rng.normal(size=(E, d)).astype(np.float32) * 0.01
+        q = rng.normal(size=(d,)).astype(np.float32)
+        # plant 40 near-identical high-scoring entities inside bin 2
+        lo = 2 * 128
+        M[lo:lo + 40] = (q / np.linalg.norm(q))[None, :] * 10.0
+        M[lo:lo + 40] += rng.normal(size=(40, d)).astype(np.float32) * 1e-4
+        R = jnp.asarray(np.stack([q] * 8))
+        got_s, got_i = exact_topk(R, jnp.asarray(M), k=k)
+        dense = np.asarray(R @ jnp.asarray(M).T)
+        want_i = np.argsort(-dense, axis=1)[:, :k]
+        want_s = np.take_along_axis(dense, want_i, axis=1)
+        np.testing.assert_allclose(np.sort(np.asarray(got_s), axis=1),
+                                   np.sort(want_s, axis=1), rtol=1e-5,
+                                   atol=1e-5)
+        # all 30 winners come from the packed bin
+        assert set(np.asarray(got_i)[0]) == set(want_i[0])
+
     def test_k_clamped(self):
         rng = np.random.default_rng(6)
         R, M = _data(rng, E=200)

@@ -78,6 +78,43 @@ def prepare_entities(M: jax.Array, te: int = 2048,
                             M_binned, E, d)
 
 
+def hierarchical_topk(x: jax.Array, k: int, m: Optional[int] = None,
+                      group: int = 128) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over x [Q, N], ~5x faster than flat lax.top_k for large N.
+
+    Per-group top-m, then one small merge. A group deeper than its top-m can
+    hide a winner only if its m-th value >= the merged k-th value; the
+    condition is checked exactly and the rare hit (>= m true winners packed
+    into one group) falls back to the flat top_k via lax.cond — results are
+    always exact. Returns (values [Q, k], indices into x [Q, k]).
+    """
+    Q, N = x.shape
+    if m is None:
+        m = 8 if k <= 256 else 16
+
+    def flat(_):
+        vals, idx = jax.lax.top_k(x, k)   # top_k returns a LIST on some paths
+        return vals, idx
+
+    n_groups = -(-N // group)
+    if n_groups * m < k or N <= group:
+        return flat(None)
+
+    pad = n_groups * group - N
+    xp = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    v = xp.reshape(Q, n_groups, group)
+    tv, tl = jax.lax.top_k(v, m)                            # [Q, G, m]
+    cand_s = tv.reshape(Q, n_groups * m)
+    cand_i = (jnp.arange(n_groups)[None, :, None] * group
+              + tl).reshape(Q, n_groups * m)
+    top_s, sel = jax.lax.top_k(cand_s, k)
+    top_i = jnp.take_along_axis(cand_i, sel, axis=1)
+
+    theta = top_s[:, -1]
+    suspect = jnp.any(tv[:, :, m - 1] >= theta[:, None])
+    return jax.lax.cond(suspect, flat, lambda _: (top_s, top_i), None)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "pad_bins", "tq", "te",
                                              "interpret", "fused_rescore"))
 def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
@@ -110,6 +147,9 @@ def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
     nb_total = bins.shape[1]
     nb = min(k + pad_bins, nb_total)
 
+    # Flat top_k here: with ~nb winners over only E/16384 groups the
+    # hierarchical fast path's verified fallback fires too often to pay
+    # (measured ~5% slower end-to-end than flat at E=1M).
     _, bin_idx = jax.lax.top_k(bins, nb)                     # [Q, nb]
     ent_idx = (bin_idx[:, :, None] * LANES
                + jnp.arange(LANES)[None, None, :]).reshape(Q, nb * LANES)
@@ -136,43 +176,13 @@ def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
         sc = sc + a * bias.astype(jnp.float32)[ent_safe]
     sc = jnp.where(valid, sc, -jnp.inf)
 
-    return _final_select(sc, ent_idx, bin_idx, k, nb)
-
-
-def _final_select(sc: jax.Array, ent_idx: jax.Array, bin_idx: jax.Array,
-                  k: int, nb: int) -> Tuple[jax.Array, jax.Array]:
-    """Exact top-k over the candidate scores [Q, nb*128].
-
-    Fast path: per-bin top-m then one small merge (~5x faster than a flat
-    top_k at the benchmark shape — benchmarks/NOTES.md). A bin deeper than
-    its top-m can hide a winner ONLY if its m-th value >= the merged k-th
-    value; that condition is checked exactly, and the (rare — needs >= m
-    true winners packed into one 128-entity bin) failure falls back to the
-    flat top_k via lax.cond, so the result is always exact.
-    """
-    Q = sc.shape[0]
-    m = 8 if k <= 256 else 16
-
-    def flat(_):
-        top_s, sel = jax.lax.top_k(sc, k)
-        return top_s, jnp.take_along_axis(ent_idx, sel, axis=1)
-
-    if nb * m < k:
-        return flat(None)
-
-    v = sc.reshape(Q, nb, LANES)
-    tv, tl = jax.lax.top_k(v, m)                           # [Q, nb, m]
-    cand_s = tv.reshape(Q, nb * m)
-    # candidate entity ids arithmetically (ent_idx[q, b*128+l] = bin*128+l;
-    # a take_along_axis gather here costs more than the whole selection)
-    cand_i = (bin_idx[:, :, None] * LANES + tl).reshape(Q, nb * m)
-    top_s, sel = jax.lax.top_k(cand_s, k)
-    top_i = jnp.take_along_axis(cand_i, sel, axis=1)
-
-    theta = top_s[:, -1]                                   # k-th best [Q]
-    suspect = jnp.any(tv[:, :, m - 1] >= theta[:, None])
-
-    return jax.lax.cond(suspect, flat, lambda _: (top_s, top_i), None)
+    # Final selection over the candidates, then positions -> entity ids
+    # arithmetically (pos = b*128 + l within the candidate layout; a
+    # take_along_axis gather over ent_idx costs more than the selection).
+    top_s, pos = hierarchical_topk(sc, k)
+    sel_bin = jnp.take_along_axis(bin_idx, pos // LANES, axis=1)  # [Q, k]
+    top_i = sel_bin * LANES + pos % LANES
+    return top_s, top_i
 
 
 def exact_topk(R: jax.Array, M: jax.Array,

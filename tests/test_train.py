@@ -211,6 +211,42 @@ class TestLoop:
                                        np.asarray(sn.params[key]),
                                        rtol=1e-6, atol=1e-7)
 
+    def test_resume_exact_with_steps_per_call(self, tmp_path):
+        """Interrupt + resume with steps_per_call>1: group boundaries align
+        because cursors are only recorded after full groups, so the resumed
+        run must be bit-identical to the uninterrupted one."""
+        import dataclasses
+        ds, _ = _prepared_dataset(tmp_path)
+        tcfg = dataclasses.replace(TCFG, steps_per_call=4,
+                                   checkpoint_every_steps=1)
+        recipe = RecipeConfig(name="s", model=MCFG, train=tcfg)
+        full = train(recipe, ds, str(tmp_path / "full"),
+                     deterministic_feed=True)
+
+        base_step = make_train_step(MCFG, tcfg)
+        calls = {"n": 0}
+
+        class Stop(Exception):
+            pass
+
+        def limited(state, batch):
+            if calls["n"] >= 3:
+                raise Stop()
+            calls["n"] += 1
+            return base_step(state, batch)
+
+        try:
+            train(recipe, ds, str(tmp_path / "resumed"), train_step=limited,
+                  deterministic_feed=True)
+        except Stop:
+            pass
+        resumed = train(recipe, ds, str(tmp_path / "resumed"),
+                        deterministic_feed=True)
+        assert int(resumed.step) == int(full.step)
+        for key in full.params:
+            np.testing.assert_array_equal(np.asarray(full.params[key]),
+                                          np.asarray(resumed.params[key]))
+
     def test_epoch_snapshots_written(self, tmp_path):
         ds, _ = _prepared_dataset(tmp_path)
         recipe = RecipeConfig(name="t", model=MCFG, train=TCFG)

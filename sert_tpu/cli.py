@@ -189,7 +189,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.cmd == "sweep":
         recipe = _load_recipe(args.recipe)
         from sert_tpu import pipeline
-        from sert_tpu.data.instances import InstanceDataset
         results = pipeline.sweep_checkpoints(
             recipe, args.data, args.run_dir, args.topics, args.qrels,
             measure=args.measure)

@@ -27,6 +27,7 @@ class NativeVocab:
     def __init__(self, lib: ctypes.CDLL, terms, lowercase=True,
                  filter_stopwords=True, min_token_len=1, drop_numeric=False):
         self._lib = lib
+        self._lowercase = lowercase
         blob = b"\0".join(t.encode() for t in terms) + b"\0"
         self._n = len(terms)
         self._handle = lib.sert_vocab_create(
@@ -34,6 +35,13 @@ class NativeVocab:
             int(min_token_len), int(drop_numeric))
 
     def encode(self, text: str) -> np.ndarray:
+        # Lowercase in PYTHON first: str.lower() maps some non-ASCII chars
+        # to ASCII (U+212A Kelvin -> 'k', U+0130 -> 'i'+combining), which the
+        # byte-wise C++ scanner cannot reproduce; the native lowercase flag
+        # then only re-lowers ASCII (a no-op here), keeping byte-identical
+        # parity with the pure-Python tokenizer.
+        if self._lowercase:
+            text = text.lower()
         data = text.encode()
         cap = max(len(data), 1)
         out = np.empty(cap, np.int32)
@@ -55,11 +63,14 @@ class NativeCounter:
     def __init__(self, lib: ctypes.CDLL, lowercase=True,
                  filter_stopwords=True, min_token_len=1, drop_numeric=False):
         self._lib = lib
+        self._lowercase = lowercase
         self._handle = lib.sert_counter_create(
             int(lowercase), int(filter_stopwords), int(min_token_len),
             int(drop_numeric))
 
     def add(self, text: str) -> None:
+        if self._lowercase:
+            text = text.lower()  # Unicode-aware; see NativeVocab.encode
         data = text.encode()
         self._lib.sert_counter_add(self._handle, data, len(data))
 

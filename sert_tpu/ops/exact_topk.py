@@ -105,7 +105,9 @@ def hierarchical_topk(x: jax.Array, k: int, m: Optional[int] = None,
     v = xp.reshape(Q, n_groups, group)
     tv, tl = jax.lax.top_k(v, m)                            # [Q, G, m]
     cand_s = tv.reshape(Q, n_groups * m)
-    cand_i = (jnp.arange(n_groups)[None, :, None] * group
+    # int32 explicitly: under jax_enable_x64 arange would be int64 and the
+    # cond branches (flat top_k indices are always int32) would mismatch.
+    cand_i = (jnp.arange(n_groups, dtype=jnp.int32)[None, :, None] * group
               + tl).reshape(Q, n_groups * m)
     top_s, sel = jax.lax.top_k(cand_s, k)
     top_i = jnp.take_along_axis(cand_i, sel, axis=1)

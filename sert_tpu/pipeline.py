@@ -113,13 +113,23 @@ def sweep_checkpoints(recipe: RecipeConfig, data_dir: str, run_dir: str,
     ckpts = ckpt_mod.list_checkpoints(os.path.join(run_dir, "checkpoints"))
     if not ckpts:
         raise FileNotFoundError(f"no checkpoints in {run_dir}")
+    vocab_hash = vocab.content_hash()
     for step, path in ckpts.items():
-        state, _ = ckpt_mod.load_checkpoint(path, template)
+        state, meta = ckpt_mod.load_checkpoint(path, template)
+        trained_hash = meta.get("vocab_hash")
+        if trained_hash and trained_hash != vocab_hash:
+            raise ValueError(
+                f"checkpoint {path} was trained against a different "
+                f"vocabulary than {data_dir}")
+        if meta.get("cursor") is not None:
+            continue  # mid-epoch step checkpoint; sweep epoch snapshots only
         run = score_topics(state.params, resolved.model, encoded,
                            registry.names, resolved.score)
         res = evaluate_run(run, qrels, measures=(measure,))
         per_step[str(step)] = res["all"][measure]
         log.info("sweep: step %d %s=%.4f", step, measure, per_step[str(step)])
+    if not per_step:
+        raise FileNotFoundError(f"no epoch snapshots in {run_dir}")
     best_step = max(per_step, key=per_step.get)
     return {"per_step": per_step, "best_step": int(best_step),
             "best": per_step[best_step], "measure": measure}

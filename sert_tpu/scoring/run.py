@@ -105,7 +105,8 @@ def score_topics(
             from sert_tpu.parallel.topk import distributed_topk
             return distributed_topk(params, cfg, t, m, mesh, k=k,
                                     chunk=min(sc.entity_chunk, E),
-                                    similarity=sc.similarity, merge=sc.merge)
+                                    similarity=sc.similarity, merge=sc.merge,
+                                    local_engine=sc.local_engine)
         return streaming_topk(params, cfg, t, m, k=k, chunk=sc.entity_chunk,
                               similarity=sc.similarity)
 

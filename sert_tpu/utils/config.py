@@ -96,9 +96,13 @@ class ScoreConfig:
     # and all metrics are identical with False.
     normalize_scores: bool = True
     use_pallas: bool = False         # legacy alias for engine="pallas"
-    # distributed engine: mesh axes and merge strategy
+    # distributed engine: mesh axes, merge strategy, and per-shard engine.
+    # local_engine "binmax" is fastest but holds an O(Q * E/n_shards)
+    # transient per device; "scan" is fixed-memory (chunk rows at a time) —
+    # pick it when E/n_shards * query_batch * 4 bytes approaches HBM.
     mesh_shape: Tuple[int, int] = (1, -1)   # (data, model); -1 = all devices
     merge: str = "allgather"                # "allgather" | "ring"
+    local_engine: str = "binmax"            # "binmax" | "scan"
 
 
 @dataclass(frozen=True)

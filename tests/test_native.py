@@ -94,7 +94,10 @@ class TestNativeParity:
         from sert_tpu.data.tokenize import tokenize
         from sert_tpu.data.vocab import Vocabulary
         texts = ["Hello, the World! it's o'brien's 42 code; Résumé",
-                 "the THE cat 007 a1 'quoted' and   spaces\ttabs\nnewlines"]
+                 "the THE cat 007 a1 'quoted' and   spaces\ttabs\nnewlines",
+                 # Unicode chars whose str.lower() maps into ASCII: the
+                 # wrapper must lowercase in Python before the byte scanner
+                 "25K warmer İstanbul trip"]
         for lc in (True, False):
             for dn in (True, False):
                 want = Counter()

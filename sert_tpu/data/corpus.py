@@ -94,12 +94,18 @@ def build_expert_associations(
     associated with every candidate whose name or e-mail occurs in its text
     (the reference's authorship/e-mail heuristic, SURVEY.md section 3.1).
 
-    One combined case-insensitive alternation regex scans each document once
+    One combined alternation regex scans each LOWERCASED document once
     (longest mention first so overlapping mentions prefer the longer), then
     matches map back to candidates — O(docs * text) instead of the
     O(docs * candidates * mentions) of per-candidate searches, which at W3C
     scale (~330k docs x ~1.1k candidates) is the difference between minutes
-    and hours."""
+    and hours.
+
+    Matching details: case folding uses str.lower() on BOTH sides (re.I's
+    simple fold can match case variants like U+0130 whose .lower() is not
+    the mention key — a crash class, not just a miss); alternatives carry
+    alphanumeric-boundary lookarounds so a short alias like 'Li' cannot
+    match inside 'public'."""
     assoc = Associations()
     mention_to_ids: Dict[str, List[int]] = {}
     for cand_id, mentions in candidates.items():
@@ -111,10 +117,11 @@ def build_expert_associations(
         return assoc
     alternation = "|".join(
         re.escape(m) for m in sorted(mention_to_ids, key=len, reverse=True))
-    pattern = re.compile(alternation, re.I)
+    pattern = re.compile(
+        r"(?<![A-Za-z0-9])(?:" + alternation + r")(?![A-Za-z0-9])")
     for doc_id, text in docs:
-        for m in pattern.finditer(text):
-            for ent in mention_to_ids[m.group(0).lower()]:
+        for m in pattern.finditer(text.lower()):
+            for ent in mention_to_ids[m.group(0)]:
                 assoc.add(doc_id, ent)
     return assoc
 
@@ -140,7 +147,9 @@ def iter_amazon_reviews(paths: Iterable[str]) -> Iterator[Tuple[str, str, str]]:
                     continue
                 text = " ".join(
                     str(obj.get(k, "")) for k in ("summary", "reviewText", "description"))
-                yield f"{os.path.basename(path)}:{i}", asin, text
+                # full path in the id: same-named files in different
+                # directories must not collide
+                yield f"{path}:{i}", asin, text
 
 
 def build_product_collection(

@@ -58,11 +58,32 @@ def _chunks(seq: List, n: int) -> Iterator[List]:
         yield seq[i:i + n]
 
 
+def _pool_context():
+    """Pick the safest start method available to this caller.
+
+    forkserver avoids forking the (JAX-threaded) parent — Python 3.12 warns
+    that such forks can deadlock children. But forkserver/spawn re-import
+    the caller's __main__, which is impossible for stdin/REPL callers
+    (multiprocessing would loop respawning FileNotFoundError workers), so
+    those fall back to fork: safe in practice here because workers touch
+    only re/collections before exec'ing their task.
+    """
+    import os
+    import sys
+    main = sys.modules.get("__main__")
+    main_file = getattr(main, "__file__", None)
+    # NB: stdin scripts report __file__='<stdin>' — truthy but not a real
+    # path, so existence must be checked, not just presence.
+    importable = (getattr(main, "__spec__", None) is not None
+                  or (main_file is not None and os.path.exists(main_file)))
+    return mp.get_context("forkserver" if importable else "fork")
+
+
 def parallel_term_counts(texts: List[str], cfg: DataConfig,
                          num_workers: int, chunk: int = 256) -> Counter:
     """Merged token counts over all texts (vocabulary pass 1)."""
-    with mp.Pool(num_workers, initializer=_init_worker,
-                 initargs=(cfg, None)) as pool:
+    with _pool_context().Pool(num_workers, initializer=_init_worker,
+                   initargs=(cfg, None)) as pool:
         total: Counter = Counter()
         for c in pool.imap(_count_chunk, _chunks(texts, chunk)):
             total.update(c)
@@ -73,7 +94,7 @@ def parallel_encode(items: List[Tuple[str, str]], cfg: DataConfig,
                     vocab_index: Dict[str, int], num_workers: int,
                     chunk: int = 256) -> Iterator[Tuple[str, List[int]]]:
     """(doc_id, token_ids) in the INPUT order (vocabulary pass 2)."""
-    with mp.Pool(num_workers, initializer=_init_worker,
-                 initargs=(cfg, vocab_index)) as pool:
+    with _pool_context().Pool(num_workers, initializer=_init_worker,
+                   initargs=(cfg, vocab_index)) as pool:
         for batch in pool.imap(_encode_chunk, _chunks(items, chunk)):
             yield from batch

@@ -21,12 +21,13 @@ from sert_tpu.utils.config import ModelConfig, TrainConfig
 def make_sharded_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
                             mesh: Mesh, noise=None):
     """Returns (train_step, init_fn, put_fn) with mesh shardings applied."""
-    if mesh.shape.get("model", 1) > 1 and model_cfg.fused_softmax == "auto":
-        # pallas_call has no SPMD partitioning rule: under a model-sharded
-        # mesh the fused kernel would force GSPMD to replicate the entity-
-        # sharded matrix every step, defeating the TP sharding. The XLA
-        # composition partitions cleanly (logsumexp psum), so auto backs off;
-        # an explicit "on" is honored (single-host small-E cases).
+    if mesh.size > 1 and model_cfg.fused_softmax == "auto":
+        # pallas_call has no SPMD partitioning rule: on ANY multi-device
+        # mesh the fused kernel forces GSPMD to gather its operands — the
+        # entity-sharded matrix under TP, or the data-sharded batch under
+        # DP — and run replicated, defeating the sharding. The XLA
+        # composition partitions cleanly (logsumexp psum / batch split), so
+        # auto backs off; an explicit "on" is honored.
         model_cfg = model_cfg.replace(fused_softmax="off")
     step = make_train_step(model_cfg, train_cfg, noise=noise, jit=False)
 

@@ -7,6 +7,7 @@ CLI, the recipe runner, the e2e tests, and the benchmark harness.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Dict, Mapping, Optional
 
@@ -81,7 +82,10 @@ def load_scorer(run_dir: str, data_dir: str, recipe: RecipeConfig,
         path = ckpt.list_checkpoints(ckpt_dir).get(step)
     if path is None:
         raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
-    template = init_state(jax.random.key(0), recipe.model, recipe.train)
+    # Shape-only template: never materialize a throwaway random init (at
+    # LSE scale that is 3x the entity matrix in params + Adam moments).
+    template = jax.eval_shape(
+        lambda: init_state(jax.random.key(0), recipe.model, recipe.train))
     state, meta = ckpt.load_checkpoint(path, template)
     trained_hash = meta.get("vocab_hash")
     if trained_hash and trained_hash != vocab.content_hash():
@@ -108,14 +112,21 @@ def sweep_checkpoints(recipe: RecipeConfig, data_dir: str, run_dir: str,
     qrels = read_qrels(qrels_path)
     encoded = encode_queries(topics, vocab, resolved.data)
 
-    template = init_state(jax.random.key(0), resolved.model, resolved.train)
+    template = jax.eval_shape(
+        lambda: init_state(jax.random.key(0), resolved.model, resolved.train))
     per_step: Dict[str, float] = {}
     ckpts = ckpt_mod.list_checkpoints(os.path.join(run_dir, "checkpoints"))
     if not ckpts:
         raise FileNotFoundError(f"no checkpoints in {run_dir}")
     vocab_hash = vocab.content_hash()
     for step, path in ckpts.items():
-        state, meta = ckpt_mod.load_checkpoint(path, template)
+        # Meta sidecar first: skipping a mid-epoch checkpoint must not cost
+        # a multi-GB npz deserialization.
+        meta_path = path[:-len(".npz")] + ".json"
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
         trained_hash = meta.get("vocab_hash")
         if trained_hash and trained_hash != vocab_hash:
             raise ValueError(
@@ -123,6 +134,7 @@ def sweep_checkpoints(recipe: RecipeConfig, data_dir: str, run_dir: str,
                 f"vocabulary than {data_dir}")
         if meta.get("cursor") is not None:
             continue  # mid-epoch step checkpoint; sweep epoch snapshots only
+        state, _ = ckpt_mod.load_checkpoint(path, template)
         run = score_topics(state.params, resolved.model, encoded,
                            registry.names, resolved.score)
         res = evaluate_run(run, qrels, measures=(measure,))

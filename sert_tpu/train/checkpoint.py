@@ -43,6 +43,9 @@ def _flatten(tree: Any) -> Dict[str, np.ndarray]:
 
 
 def _unflatten(template: Any, flat: Dict[str, np.ndarray]) -> Any:
+    """Template leaves only provide shape/dtype — live arrays are NOT copied
+    to host (that would round-trip the whole state) and abstract
+    ShapeDtypeStructs (from jax.eval_shape) work equally well."""
     paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for path, leaf in paths_leaves:
@@ -51,15 +54,18 @@ def _unflatten(template: Any, flat: Dict[str, np.ndarray]) -> Any:
             raise KeyError(f"checkpoint missing leaf {key}")
         arr = flat[key]
         if _is_prng_key(leaf):
-            impl = jax.random.key_impl(leaf)
-            leaves.append(jax.random.wrap_key_data(
-                jax.numpy.asarray(arr), impl=impl))
+            data = jax.numpy.asarray(arr)
+            try:
+                impl = jax.random.key_impl(leaf)
+                leaves.append(jax.random.wrap_key_data(data, impl=impl))
+            except (TypeError, AttributeError):  # abstract template leaf
+                leaves.append(jax.random.wrap_key_data(data))
             continue
-        want = np.asarray(leaf)
-        if tuple(arr.shape) != tuple(want.shape):
+        if tuple(arr.shape) != tuple(leaf.shape):
             raise ValueError(
-                f"checkpoint leaf {key} shape {arr.shape} != expected {want.shape}")
-        leaves.append(arr.astype(want.dtype))
+                f"checkpoint leaf {key} shape {arr.shape} != expected "
+                f"{tuple(leaf.shape)}")
+        leaves.append(arr.astype(leaf.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

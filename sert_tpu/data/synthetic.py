@@ -70,16 +70,19 @@ def make_synthetic(
     entities = [f"entity{i:04d}" for i in range(num_entities)]
     docs: Dict[str, str] = {}
     doc_entities: Dict[str, List[str]] = {}
+    # One vectorized draw for every token of every document (a per-doc
+    # Python loop took minutes at 200k entities).
+    sig_matrix = np.stack(signatures)                       # [E, sig]
+    shape = (num_entities, docs_per_entity, doc_len)
+    sig_pick = sig_matrix[
+        np.arange(num_entities)[:, None, None],
+        rng.integers(0, signature_size, size=shape)]
+    noise_pick = rng.choice(vocab_size, size=shape, p=zipf)
+    token_ids = np.where(rng.random(shape) < signal, sig_pick, noise_pick)
     for ei, ent in enumerate(entities):
-        sig = signatures[ei]
         for di in range(docs_per_entity):
-            token_ids = np.where(
-                rng.random(doc_len) < signal,
-                rng.choice(sig, size=doc_len),
-                rng.choice(vocab_size, size=doc_len, p=zipf),
-            )
             doc_id = f"doc-{ei:04d}-{di:03d}"
-            docs[doc_id] = " ".join(terms[t] for t in token_ids)
+            docs[doc_id] = " ".join(terms[t] for t in token_ids[ei, di])
             doc_entities[doc_id] = [ent]
 
     # Topics: queries drawn from one entity's signature; that entity is the

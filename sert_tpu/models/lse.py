@@ -67,9 +67,19 @@ def window_rep(params: Params, windows: jax.Array, lengths: jax.Array,
 
 def sample_negatives(rng: jax.Array, noise: jax.Array, batch_size: int,
                      cfg: ModelConfig) -> jax.Array:
-    """[B, k] negative entity ids ~ noise distribution, iid with replacement."""
-    return jax.random.categorical(
-        rng, noise, shape=(batch_size, cfg.num_negatives))
+    """[B, k] negative entity ids ~ noise distribution, iid with replacement.
+
+    Sampled by inverse-CDF (cumsum + searchsorted), O(E + B*k*log E).
+    jax.random.categorical would broadcast Gumbel noise to [B, k, E] —
+    8e9 draws PER STEP at B=4096, k=10, E=200k — which made large-entity
+    LSE training sampling-bound (caught by the 200k stress run).
+    """
+    probs = jax.nn.softmax(noise.astype(jnp.float32))
+    cdf = jnp.cumsum(probs)
+    u = jax.random.uniform(rng, (batch_size, cfg.num_negatives),
+                           maxval=cdf[-1])  # guard fp cumsum sum < 1
+    idx = jnp.searchsorted(cdf, u)
+    return jnp.minimum(idx, cfg.num_entities - 1).astype(jnp.int32)
 
 
 def loss(params: Params, batch, cfg: ModelConfig, rng: jax.Array = None,

@@ -123,6 +123,47 @@ class TestCliTrecPrepare:
         assert ds.meta["num_entities"] == 2
         assert ds.meta["num_instances"] > 0
 
+class TestCliMisc:
+    def test_list_names_all_recipes(self, capsys):
+        from sert_tpu.cli import main
+        from sert_tpu.recipes import RECIPES
+        assert main(["list"]) == 0
+        out = capsys.readouterr().out.split()
+        assert set(out) == set(RECIPES)
+
+    def test_e2e_rejects_scoring_only_recipe(self, tmp_path):
+        from sert_tpu.cli import main
+        with pytest.raises(SystemExit, match="scoring-only"):
+            main(["e2e", "--recipe", "synthetic_10m_scoring",
+                  "--workdir", str(tmp_path)])
+
+    def test_unknown_recipe_exits(self):
+        from sert_tpu.cli import main
+        with pytest.raises(SystemExit, match="unknown recipe"):
+            main(["train", "--recipe", "no_such", "--data", "x", "--out", "y"])
+
+
+class TestMentionBoundaries:
+    def test_short_alias_no_substring_match(self):
+        from sert_tpu.data.assoc import EntityRegistry
+        reg = EntityRegistry(["c1"])
+        assoc = corpus.build_expert_associations(
+            [("d1", "the public library online"), ("d2", "Li spoke up"),
+             ("d3", "emailed li@w3.org today")],
+            {"c1": ["Li", "li@w3.org"]}, reg)
+        assert assoc.entities_for("d1") == []
+        assert assoc.entities_for("d2") == [0]
+        assert assoc.entities_for("d3") == [0]
+
+    def test_unicode_case_variant_no_crash(self):
+        from sert_tpu.data.assoc import EntityRegistry
+        reg = EntityRegistry(["c1"])
+        assoc = corpus.build_expert_associations(
+            [("d1", "Flight to İSTANBUL was late")],
+            {"c1": ["istanbul"]}, reg)  # U+0130 folds differently: no match,
+        assert assoc.entities_for("d1") == []  # and crucially no KeyError
+
+
     def test_missing_candidates_errors(self, tmp_path, trec_file):
         from sert_tpu.cli import main
         from sert_tpu.recipes import tiny_recipe

@@ -12,47 +12,55 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import time, tempfile, numpy as np, json
+import tempfile
+import time
 from sert_tpu.data.synthetic import make_synthetic
-from sert_tpu.data import Associations, EntityRegistry, InstanceDataset, Vocabulary
+from sert_tpu import pipeline
+from sert_tpu.data import Associations, EntityRegistry, Vocabulary
 from sert_tpu.data.prepare import prepare, encode_queries
-from sert_tpu.train.loop import train
 from sert_tpu.scoring.run import score_topics
 from sert_tpu.eval.metrics import evaluate_run
 from sert_tpu.utils.config import DataConfig, ModelConfig, RecipeConfig, ScoreConfig, TrainConfig
 
-t0 = time.time()
-E = 200_000
-col = make_synthetic(num_entities=E, vocab_size=100_000, docs_per_entity=1,
-                     doc_len=60, signature_size=8, num_topics=200, seed=11)
-print(f"gen {time.time()-t0:.0f}s ({len(col.docs)} docs)", flush=True)
 
-reg = EntityRegistry(col.entities); assoc = Associations()
-for d, es in col.doc_entities.items():
-    for e in es: assoc.add(d, reg.id(e))
-dcfg = DataConfig(window_size=8, vocab_min_count=1, vocab_max_size=120_000)
-ddir = tempfile.mkdtemp()
-t0 = time.time()
-meta = prepare(col.docs, assoc, reg, ddir, dcfg)
-print(f"prepare {time.time()-t0:.0f}s ({meta['num_instances']} instances, vocab {meta['vocab_size']})", flush=True)
+def main():
+    t0 = time.time()
+    E = 200_000
+    col = make_synthetic(num_entities=E, vocab_size=100_000, docs_per_entity=1,
+                         doc_len=60, signature_size=8, num_topics=200, seed=11)
+    print(f"gen {time.time()-t0:.0f}s ({len(col.docs)} docs)", flush=True)
 
-recipe = RecipeConfig(
-    name="stress200k",
-    data=dcfg,
-    model=ModelConfig(model="lse", vocab_size=meta["vocab_size"], num_entities=E,
-                      word_dim=128, entity_dim=128, num_negatives=10,
-                      negative_distribution="unigram", compute_dtype="bfloat16"),
-    train=TrainConfig(batch_size=4096, num_epochs=8, learning_rate=3e-3,
-                      steps_per_call=16, log_every_steps=0),
-    score=ScoreConfig(top_k=100, similarity="cosine", engine="pallas"))
-t0 = time.time()
-state, recipe = __import__("sert_tpu.pipeline", fromlist=["x"]).train_from_dir(recipe, ddir, tempfile.mkdtemp())
-print(f"train {time.time()-t0:.0f}s ({int(state.step)} steps)", flush=True)
+    reg = EntityRegistry(col.entities); assoc = Associations()
+    for d, es in col.doc_entities.items():
+        for e in es: assoc.add(d, reg.id(e))
+    dcfg = DataConfig(window_size=8, vocab_min_count=1, vocab_max_size=120_000)
+    ddir = tempfile.mkdtemp()
+    t0 = time.time()
+    meta = prepare(col.docs, assoc, reg, ddir, dcfg)
+    print(f"prepare {time.time()-t0:.0f}s ({meta['num_instances']} instances, vocab {meta['vocab_size']})", flush=True)
 
-vocab = Vocabulary.load(ddir + "/vocab.json")
-encoded = encode_queries(col.topics, vocab, dcfg)
-t0 = time.time()
-run = score_topics(state.params, recipe.model, encoded, reg.names, recipe.score)
-print(f"score {time.time()-t0:.1f}s (200 topics x {E} entities)", flush=True)
-res = evaluate_run(run, col.qrels)
-print("metrics:", {k: round(v,4) for k,v in res["all"].items() if k in ("ndcg@100","recip_rank","recall@100")}, flush=True)
+    recipe = RecipeConfig(
+        name="stress200k",
+        data=dcfg,
+        model=ModelConfig(model="lse", vocab_size=meta["vocab_size"], num_entities=E,
+                          word_dim=128, entity_dim=128, num_negatives=10,
+                          negative_distribution="unigram", compute_dtype="bfloat16"),
+        train=TrainConfig(batch_size=4096, num_epochs=8, learning_rate=3e-3,
+                          steps_per_call=16, log_every_steps=0),
+        score=ScoreConfig(top_k=100, similarity="cosine", engine="pallas"))
+    t0 = time.time()
+    state, recipe = pipeline.train_from_dir(recipe, ddir, tempfile.mkdtemp())
+    print(f"train {time.time()-t0:.0f}s ({int(state.step)} steps)", flush=True)
+
+    vocab = Vocabulary.load(ddir + "/vocab.json")
+    encoded = encode_queries(col.topics, vocab, dcfg)
+    t0 = time.time()
+    run = score_topics(state.params, recipe.model, encoded, reg.names, recipe.score)
+    print(f"score {time.time()-t0:.1f}s (200 topics x {E} entities)", flush=True)
+    res = evaluate_run(run, col.qrels)
+    print("metrics:", {k: round(v,4) for k,v in res["all"].items() if k in ("ndcg@100","recip_rank","recall@100")}, flush=True)
+
+
+
+if __name__ == "__main__":
+    main()

@@ -117,8 +117,9 @@ def build_expert_associations(
         return assoc
     alternation = "|".join(
         re.escape(m) for m in sorted(mention_to_ids, key=len, reverse=True))
-    pattern = re.compile(
-        r"(?<![A-Za-z0-9])(?:" + alternation + r")(?![A-Za-z0-9])")
+    # \w boundaries (Unicode-aware, includes underscore): 'Li' must not
+    # match inside 'Liège' or 'li_table' any more than inside 'library'.
+    pattern = re.compile(r"(?<!\w)(?:" + alternation + r")(?!\w)")
     for doc_id, text in docs:
         for m in pattern.finditer(text.lower()):
             for ent in mention_to_ids[m.group(0)]:
@@ -131,8 +132,12 @@ def build_expert_associations(
 # ---------------------------------------------------------------------------
 
 def iter_amazon_reviews(paths: Iterable[str]) -> Iterator[Tuple[str, str, str]]:
-    """Yield (review_id, asin, text) from Amazon review JSON-lines files."""
-    for path in paths:
+    """Yield (review_id, asin, text) from Amazon review JSON-lines files.
+
+    Review ids are ``f{file_index}:{line}``: stable across path spellings
+    and CWDs (unlike embedding the path) while still collision-free for
+    same-named files in different directories (unlike the basename)."""
+    for fi, path in enumerate(paths):
         with _open_maybe_gzip(path) as fh:
             for i, line in enumerate(fh):
                 line = line.strip()
@@ -147,9 +152,7 @@ def iter_amazon_reviews(paths: Iterable[str]) -> Iterator[Tuple[str, str, str]]:
                     continue
                 text = " ".join(
                     str(obj.get(k, "")) for k in ("summary", "reviewText", "description"))
-                # full path in the id: same-named files in different
-                # directories must not collide
-                yield f"{path}:{i}", asin, text
+                yield f"f{fi}:{i}", asin, text
 
 
 def build_product_collection(

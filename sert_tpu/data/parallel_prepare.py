@@ -15,6 +15,7 @@ pool initializer) — pickling a 100k-term dict per task would erase the win.
 from __future__ import annotations
 
 import multiprocessing as mp
+import os
 from collections import Counter
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -79,12 +80,37 @@ def _pool_context():
     return mp.get_context("forkserver" if importable else "fork")
 
 
+# Recursion guard: forkserver/spawn workers re-import the caller's __main__
+# (as __mp_main__); an UNGUARDED top-level script calling prepare() would
+# otherwise re-enter pool creation from inside each worker bootstrap — a
+# fork bomb. Children inherit this env marker (set only while workers are
+# being spawned) and run serially instead. Scripts should still follow the
+# standard multiprocessing rule: put work under `if __name__ == "__main__"`.
+_BOOTSTRAP_ENV = "SERT_MP_BOOTSTRAP"
+
+
+def _make_pool(num_workers: int, initargs):
+    if os.environ.get(_BOOTSTRAP_ENV):
+        return None  # inside a worker bootstrap: caller runs serially
+    os.environ[_BOOTSTRAP_ENV] = "1"
+    try:
+        return _pool_context().Pool(num_workers, initializer=_init_worker,
+                                    initargs=initargs)
+    finally:
+        del os.environ[_BOOTSTRAP_ENV]
+
+
 def parallel_term_counts(texts: List[str], cfg: DataConfig,
                          num_workers: int, chunk: int = 256) -> Counter:
     """Merged token counts over all texts (vocabulary pass 1)."""
-    with _pool_context().Pool(num_workers, initializer=_init_worker,
-                   initargs=(cfg, None)) as pool:
-        total: Counter = Counter()
+    pool = _make_pool(num_workers, (cfg, None))
+    total: Counter = Counter()
+    if pool is None:
+        _init_worker(cfg, None)
+        for part in _chunks(texts, chunk):
+            total.update(_count_chunk(part))
+        return total
+    with pool:
         for c in pool.imap(_count_chunk, _chunks(texts, chunk)):
             total.update(c)
     return total
@@ -94,7 +120,12 @@ def parallel_encode(items: List[Tuple[str, str]], cfg: DataConfig,
                     vocab_index: Dict[str, int], num_workers: int,
                     chunk: int = 256) -> Iterator[Tuple[str, List[int]]]:
     """(doc_id, token_ids) in the INPUT order (vocabulary pass 2)."""
-    with _pool_context().Pool(num_workers, initializer=_init_worker,
-                   initargs=(cfg, vocab_index)) as pool:
+    pool = _make_pool(num_workers, (cfg, vocab_index))
+    if pool is None:
+        _init_worker(cfg, vocab_index)
+        for part in _chunks(items, chunk):
+            yield from _encode_chunk(part)
+        return
+    with pool:
         for batch in pool.imap(_encode_chunk, _chunks(items, chunk)):
             yield from batch

@@ -7,7 +7,6 @@ CLI, the recipe runner, the e2e tests, and the benchmark harness.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Dict, Mapping, Optional
 
@@ -122,11 +121,7 @@ def sweep_checkpoints(recipe: RecipeConfig, data_dir: str, run_dir: str,
     for step, path in ckpts.items():
         # Meta sidecar first: skipping a mid-epoch checkpoint must not cost
         # a multi-GB npz deserialization.
-        meta_path = path[:-len(".npz")] + ".json"
-        meta = {}
-        if os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                meta = json.load(fh)
+        meta = ckpt_mod.load_meta(path)
         trained_hash = meta.get("vocab_hash")
         if trained_hash and trained_hash != vocab_hash:
             raise ValueError(

@@ -120,14 +120,18 @@ def list_checkpoints(ckpt_dir: str) -> Dict[int, str]:
     return dict(sorted(out.items()))
 
 
+def load_meta(path: str) -> Dict:
+    """Read a checkpoint's JSON sidecar without touching the npz (cheap
+    cursor/hash inspection — sweep uses this to skip checkpoints unloaded)."""
+    meta_path = path[:-len(".npz")] + ".json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            return json.load(fh)
+    return {}
+
+
 def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict]:
     """Restore a state pytree (shaped like ``template``) + the JSON meta."""
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
-    state = _unflatten(template, flat)
-    meta_path = path[:-len(".npz")] + ".json"
-    meta: Dict = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-    return state, meta
+    return _unflatten(template, flat), load_meta(path)

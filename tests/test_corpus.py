@@ -123,6 +123,17 @@ class TestCliTrecPrepare:
         assert ds.meta["num_entities"] == 2
         assert ds.meta["num_instances"] > 0
 
+    def test_missing_candidates_errors(self, tmp_path, trec_file):
+        from sert_tpu.cli import main
+        from sert_tpu.recipes import tiny_recipe
+        from sert_tpu.utils.config import save_config
+        recipe = tmp_path / "r.json"
+        save_config(tiny_recipe("loglinear"), str(recipe))
+        with pytest.raises(SystemExit, match="candidates"):
+            main(["prepare", "--recipe", str(recipe),
+                  "--out", str(tmp_path / "o"), "--trec-docs", trec_file])
+
+
 class TestCliMisc:
     def test_list_names_all_recipes(self, capsys):
         from sert_tpu.cli import main
@@ -164,12 +175,3 @@ class TestMentionBoundaries:
         assert assoc.entities_for("d1") == []  # and crucially no KeyError
 
 
-    def test_missing_candidates_errors(self, tmp_path, trec_file):
-        from sert_tpu.cli import main
-        from sert_tpu.recipes import tiny_recipe
-        from sert_tpu.utils.config import save_config
-        recipe = tmp_path / "r.json"
-        save_config(tiny_recipe("loglinear"), str(recipe))
-        with pytest.raises(SystemExit, match="candidates"):
-            main(["prepare", "--recipe", str(recipe),
-                  "--out", str(tmp_path / "o"), "--trec-docs", trec_file])

@@ -65,7 +65,8 @@ def _local_lse(term_emb, mask, M_shard, bias_shard, chunk):
         return (m_new, run_sum), None
 
     init = (jnp.full((Q, T), -jnp.inf), jnp.zeros((Q, T), jnp.float32))
-    init = tuple(jax.lax.pvary(x, ("data", "model")) for x in init)
+    init = tuple(jax.lax.pcast(x, ("data", "model"), to="varying")
+                 for x in init)
     (run_max, run_sum), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
     return run_max, run_sum
 

@@ -131,7 +131,7 @@ def chunked_topk_core(R: jax.Array, term_emb: Optional[jax.Array],
     if vary_axes:
         # Under shard_map the body output varies over the mesh axes (it reads
         # sharded M), so the carry init must be marked varying too.
-        init = tuple(jax.lax.pvary(x, vary_axes) for x in init)
+        init = tuple(jax.lax.pcast(x, vary_axes, to="varying") for x in init)
     (top_s, top_i, run_max, run_sum), _ = jax.lax.scan(
         body, init, jnp.arange(n_chunks))
     return top_s, top_i, run_max, run_sum

@@ -199,19 +199,16 @@ def _xent_fwd(pooled, W, b, labels, layout, tb, te, interpret):
     return loss, residuals
 
 
-def _xent_bwd(layout, tb, te, interpret, residuals, g):
-    if interpret is None:
-        interpret = _interpret_default()
-    pooled_p, W_p, b_masked, labels_p, lse, B, E, d_orig = residuals
+def _bwd_calls(pooled_p, W_p, b_masked, lse_m, lab_m, tb, te, layout,
+               interpret):
+    """The two backward pallas_calls on (padded) operands: returns
+    (dW [W_p.shape], db [1, Ep], dpooled [Bp, dp]), all fp32, unscaled.
+    ``lse_m`` [Bp, 1] must be poisoned (1e30) on rows that should not
+    contribute; ``lab_m`` [Bp, 1] holds LOCAL column indices or -1 for rows
+    whose gold column is not in W_p (sharded use) / padded rows."""
     Bp, dp = pooled_p.shape
     Ep = W_p.shape[1] if layout == "de" else W_p.shape[0]
     nB, nE = Bp // tb, Ep // te
-
-    # Padded batch rows must contribute zero grad: poison their lse so
-    # exp(z - lse) ~ 0, and point their label at a padded column.
-    row = jnp.arange(Bp)
-    lse_m = jnp.where(row < B, lse, 1e30)[:, None]       # [Bp, 1]
-    lab_m = jnp.where(row < B, labels_p, -1)[:, None]    # [Bp, 1]
 
     p_spec, w_spec, b_spec = _specs(tb, te, dp, layout)
     # batch-row blocks: row index is i — the LAST grid axis in the (j, i)
@@ -257,7 +254,23 @@ def _xent_bwd(layout, tb, te, interpret, residuals, g):
         out_shape=jax.ShapeDtypeStruct((Bp, dp), jnp.float32),
         interpret=interpret,
     )(pooled_p, W_p, b_masked, lse_m, lab_m)
+    return dW, db, dpooled
 
+
+def _xent_bwd(layout, tb, te, interpret, residuals, g):
+    if interpret is None:
+        interpret = _interpret_default()
+    pooled_p, W_p, b_masked, labels_p, lse, B, E, d_orig = residuals
+    Bp = pooled_p.shape[0]
+
+    # Padded batch rows must contribute zero grad: poison their lse so
+    # exp(z - lse) ~ 0, and point their label at a padded column.
+    row = jnp.arange(Bp)
+    lse_m = jnp.where(row < B, lse, 1e30)[:, None]       # [Bp, 1]
+    lab_m = jnp.where(row < B, labels_p, -1)[:, None]    # [Bp, 1]
+
+    dW, db, dpooled = _bwd_calls(pooled_p, W_p, b_masked, lse_m, lab_m,
+                                 tb, te, layout, interpret)
     g = g.astype(jnp.float32)
     if layout == "de":
         dW_out = g * dW[:d_orig, :E]
@@ -267,3 +280,140 @@ def _xent_bwd(layout, tb, te, interpret, residuals, g):
 
 
 xent_loss.defvjp(_xent_fwd, _xent_bwd)
+
+
+# --------------------- sharded (shard_map) variant ---------------------------
+#
+# The [D]-mandated deployment of this kernel is "fused pass ... with
+# data-parallel batches over the mesh" (SURVEY.md section 3.2 build
+# consequence). pallas_call has no GSPMD partitioning rule, so under plain
+# pjit the kernel forces an all-gather of whichever operand is sharded. The
+# shard_map formulation below runs the SAME kernels per device on the local
+# (batch-shard x entity-shard) block and stitches exactness back with
+# collectives:
+#
+#   forward:  per-shard (max, sumexp) over local entity tiles
+#             -> pmax/psum over the ``model`` axis = global logsumexp;
+#             gold logit contributed only by the shard owning the label
+#             column -> psum over ``model``; row losses summed locally,
+#             psum over ``data``.
+#   backward: dW/db computed from local batch rows -> psum over ``data``;
+#             dpooled from local entity columns -> psum over ``model``.
+#             Off-shard gold columns enter the kernel as label -1 (the
+#             onehot never fires on this shard — the owning shard supplies
+#             the -1 term of softmax-minus-onehot).
+#
+# Exactness therefore matches the single-device kernel bit-for-bit up to
+# fp32 reduction order (grad-parity tested on the fake 8-device mesh).
+
+
+def make_sharded_xent_loss(mesh, layout: str = "de",
+                           data_axis: str = "data",
+                           model_axis: str = "model",
+                           tb: int = 256, te: int = 2048,
+                           interpret: Optional[bool] = None):
+    """Build ``fn(pooled [B,d], W, b [E], labels [B]) -> scalar loss SUM``
+    where W/b are sharded over ``model_axis`` (entity axis) and pooled/labels
+    over ``data_axis``, using the fused Pallas kernels per shard.
+
+    B must divide mesh[data] and E must divide mesh[model] (recipes pad the
+    entity count; the feeder emits mesh-divisible batches).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    # The body returns a PER-SHARD partial loss ([1], out_specs sharded over
+    # both axes -> global [n_devices]; the wrapper sums it). Why not a
+    # replicated scalar: shard_map's transpose convention for a replicated
+    # output scales the incoming cotangent by 1/mesh.size and psums returned
+    # input-cotangents over each input's replicated in_spec axes — correct
+    # for plain code, but a custom_vjp must then bake mesh-size factors into
+    # its bwd. With a fully-sharded output the cotangent arrives unscaled,
+    # and the machinery's replicated-axis psums (over ``model`` for
+    # pooled/labels, over ``data`` for W/b) are EXACTLY the reductions the
+    # math needs, so the bwd below returns plain local grads with no
+    # explicit collectives.
+    n_model = mesh.shape[model_axis]
+
+    @jax.custom_vjp
+    def _loss(pooled_l, W_l, b_l, labels_l):
+        loss, _ = _fwd(pooled_l, W_l, b_l, labels_l)
+        return loss
+
+    def _fwd(pooled_l, W_l, b_l, labels_l):
+        ip = _interpret_default() if interpret is None else interpret
+        d_orig = pooled_l.shape[1]
+        # _prep pads the LOCAL block; its E_orig is the local row/col count.
+        pooled_p, W_p, b_p, labels_p, Bl, El = _prep(
+            pooled_l, W_l, b_l, labels_l, layout, tb, te)
+        Ep = W_p.shape[1] if layout == "de" else W_p.shape[0]
+        col = jnp.arange(Ep)
+        b_masked = jnp.where(col[None, :] < El, b_p, -1e30)
+
+        m, s = _fwd_partials(pooled_p, W_p, b_masked, tb, te, layout, ip)
+        M_l = jnp.max(m, axis=0)                            # [Bp] local max
+        S_l = jnp.sum(s * jnp.exp(m - M_l[None, :]), axis=0)
+        g_max = jax.lax.pmax(M_l, model_axis)
+        g_sum = jax.lax.psum(S_l * jnp.exp(M_l - g_max), model_axis)
+        lse = g_max + jnp.log(g_sum)                        # [Bp] GLOBAL
+
+        offset = jax.lax.axis_index(model_axis) * El
+        lab_loc = labels_p - offset
+        in_shard = (lab_loc >= 0) & (lab_loc < El)
+        idx = jnp.clip(lab_loc, 0, El - 1)
+        if layout == "de":
+            w_gold = W_p[:, idx].T                          # [Bp, dp]
+        else:
+            w_gold = W_p[idx, :]
+        z_gold_l = jnp.where(
+            in_shard,
+            jnp.sum(pooled_p * w_gold, axis=1) + b_p[0, idx], 0.0)
+        z_gold = jax.lax.psum(z_gold_l, model_axis)         # [Bp] GLOBAL
+
+        row = jnp.arange(pooled_p.shape[0])
+        valid = row < Bl
+        # Per-shard partial: the row losses are replicated across the model
+        # axis (lse/z_gold are global after the collectives above), so each
+        # model-shard contributes 1/n_model of its data-rows' sum; the
+        # wrapper's sum over all shards reassembles the total exactly.
+        local = jnp.sum(jnp.where(valid, lse - z_gold, 0.0))[None] / n_model
+        lab_kernel = jnp.where(valid & in_shard, idx, -1)   # LOCAL col or -1
+        residuals = (pooled_p, W_p, b_masked, lab_kernel, lse, Bl, El, d_orig)
+        return local, residuals
+
+    def _bwd(residuals, g):
+        ip = _interpret_default() if interpret is None else interpret
+        pooled_p, W_p, b_masked, lab_kernel, lse, Bl, El, d_orig = residuals
+        Bp = pooled_p.shape[0]
+        row = jnp.arange(Bp)
+        lse_m = jnp.where(row < Bl, lse, 1e30)[:, None]
+        lab_m = lab_kernel[:, None]
+
+        dW, db, dpooled = _bwd_calls(pooled_p, W_p, b_masked, lse_m, lab_m,
+                                     tb, te, layout, ip)
+        # Plain LOCAL grads: the shard_map transpose psums dW/db over
+        # ``data`` (they enter replicated over it) and dpooled over
+        # ``model`` — no collectives here (see note above _loss).
+        g = g[0].astype(jnp.float32)
+        if layout == "de":
+            dW_out = g * dW[:d_orig, :El]
+        else:
+            dW_out = g * dW[:El, :d_orig]
+        return (g * dpooled[:Bl, :d_orig], dW_out, g * db[0, :El], None)
+
+    _loss.defvjp(_fwd, _bwd)
+
+    w_spec = P(None, model_axis) if layout == "de" else P(model_axis, None)
+    # check_vma=False: pallas_call outputs carry no varying-axes metadata, so
+    # the static analysis cannot type the kernel results; correctness is
+    # pinned by the mesh-vs-single-device grad-parity tests.
+    mapped = jax.shard_map(
+        _loss, mesh=mesh,
+        in_specs=(P(data_axis, None), w_spec, P(model_axis), P(data_axis)),
+        out_specs=P((data_axis, model_axis)),
+        check_vma=False,
+    )
+
+    def total_loss(pooled, W, b, labels):
+        return jnp.sum(mapped(pooled, W, b, labels))
+
+    return total_loss

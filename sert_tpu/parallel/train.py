@@ -18,18 +18,35 @@ from sert_tpu.train.step import TrainState, init_state, make_train_step
 from sert_tpu.utils.config import ModelConfig, TrainConfig
 
 
+def _want_fused(model_cfg: ModelConfig) -> bool:
+    if model_cfg.model not in ("loglinear", "lse_full"):
+        return False  # LSE's sampled objective has no entity-wide softmax
+    if model_cfg.fused_softmax == "on":
+        return True
+    if model_cfg.fused_softmax == "off":
+        return False
+    # "auto": same policy as the single-device dispatch (loglinear._use_fused)
+    return model_cfg.num_entities >= 4096 and jax.default_backend() == "tpu"
+
+
 def make_sharded_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
                             mesh: Mesh, noise=None):
     """Returns (train_step, init_fn, put_fn) with mesh shardings applied."""
-    if mesh.size > 1 and model_cfg.fused_softmax == "auto":
-        # pallas_call has no SPMD partitioning rule: on ANY multi-device
-        # mesh the fused kernel forces GSPMD to gather its operands — the
-        # entity-sharded matrix under TP, or the data-sharded batch under
-        # DP — and run replicated, defeating the sharding. The XLA
-        # composition partitions cleanly (logsumexp psum / batch split), so
-        # auto backs off; an explicit "on" is honored.
+    loss_override = None
+    if mesh.size > 1 and _want_fused(model_cfg):
+        # pallas_call has no GSPMD partitioning rule, so the single-device
+        # fused path would force operand gathers on a multi-device mesh.
+        # Route the loss through the shard_map formulation instead: the same
+        # kernels run per shard and exactness is stitched with psum/pmax
+        # (ops/xent.py, sharded variant). The inner single-device dispatch
+        # is pinned off so it cannot double-fuse.
+        from sert_tpu.parallel.fused_loss import make_sharded_fused_loss
+        loss_override = make_sharded_fused_loss(model_cfg, mesh)
         model_cfg = model_cfg.replace(fused_softmax="off")
-    step = make_train_step(model_cfg, train_cfg, noise=noise, jit=False)
+    elif mesh.size > 1 and model_cfg.fused_softmax == "auto":
+        model_cfg = model_cfg.replace(fused_softmax="off")
+    step = make_train_step(model_cfg, train_cfg, noise=noise, jit=False,
+                           loss_fn=loss_override)
 
     def host_init() -> TrainState:
         return init_state(jax.random.key(train_cfg.seed), model_cfg, train_cfg)

@@ -59,22 +59,28 @@ def init_state(rng: jax.Array, model_cfg: ModelConfig,
 
 
 def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
-                    noise: Optional[jax.Array] = None, jit: bool = True):
+                    noise: Optional[jax.Array] = None, jit: bool = True,
+                    loss_fn=None):
     """Build the (optionally jitted) train step closure.
 
     ``noise``: negative-sampling logits over entities (LSE only); closed over
     as a constant so it lives on-device across steps.
+
+    ``loss_fn``: override with api.loss_fn's signature — the sharded path
+    substitutes the shard_map-fused softmax here (parallel/fused_loss.py).
 
     With ``train_cfg.steps_per_call > 1`` the returned function takes a
     STACKED batch (leading axis = micro-steps) and scans the step inside one
     compiled call; metrics are the final micro-step's.
     """
     opt = make_optimizer(train_cfg)
+    if loss_fn is None:
+        loss_fn = api.loss_fn
 
     def step(state: TrainState, batch: Dict[str, jax.Array]
              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, sub = jax.random.split(state.rng)
-        loss, grads = jax.value_and_grad(api.loss_fn)(
+        loss, grads = jax.value_and_grad(loss_fn)(
             state.params, batch, model_cfg, rng=sub, noise=noise)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -1,0 +1,120 @@
+"""Sharded fused-softmax kernel on the fake 8-device mesh.
+
+The [D]-mandate (SURVEY.md section 3.2 build consequence) is the fused
+Pallas cross-entropy ON the mesh: per-shard kernels + psum-stitched
+logsumexp/gold-logit must match the XLA composition for loss AND gradients
+across DP, TP, and mixed mesh shapes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sert_tpu.ops.xent import make_sharded_xent_loss
+from sert_tpu.parallel.mesh import make_mesh
+from sert_tpu.parallel.train import make_sharded_train_step
+from sert_tpu.utils.config import ModelConfig, TrainConfig
+
+B, D, E, V = 32, 16, 64, 50
+
+
+def _ref_loss(pooled, W, b, labels, layout):
+    Wd = W if layout == "de" else W.T
+    z = pooled @ Wd + b
+    lse = jax.scipy.special.logsumexp(z, axis=-1)
+    gold = jnp.take_along_axis(z, labels[:, None], 1)[:, 0]
+    return jnp.sum(lse - gold)
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.normal(size=(B, D)), jnp.float32),
+            jnp.asarray(rng.normal(size=(D, E)), jnp.float32),
+            jnp.asarray(rng.normal(size=(E,)), jnp.float32),
+            jnp.asarray(rng.integers(0, E, size=B), jnp.int32))
+
+
+def _batch(seed, batch_size=16, w=5):
+    rng = np.random.default_rng(seed)
+    return {"windows": rng.integers(0, V, size=(batch_size, w)).astype(np.int32),
+            "lengths": np.full(batch_size, w, np.int32),
+            "entities": rng.integers(0, E, size=batch_size).astype(np.int32)}
+
+
+class TestShardedXent:
+    @pytest.mark.parametrize("mesh_shape", [(2, 4), (8, 1), (1, 8)])
+    @pytest.mark.parametrize("layout", ["de", "ed"])
+    def test_loss_and_grads_match_xla(self, mesh_shape, layout):
+        pooled, W, b, labels = _inputs()
+        Wl = W if layout == "de" else W.T
+        mesh = make_mesh(mesh_shape)
+        fn = make_sharded_xent_loss(mesh, layout=layout)
+        ls, gs = jax.value_and_grad(fn, argnums=(0, 1, 2))(pooled, Wl, b, labels)
+        lr, gr = jax.value_and_grad(
+            lambda p, w, bb, l: _ref_loss(p, w, bb, l, layout),
+            argnums=(0, 1, 2))(pooled, Wl, b, labels)
+        assert abs(float(ls - lr)) < 1e-3
+        for a, r in zip(gs, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_jitted_with_gspmd_shardings(self):
+        # The deployment shape: shard_map-fused loss under an outer jit with
+        # NamedSharding-placed operands (as make_sharded_train_step runs it).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        pooled, W, b, labels = _inputs()
+        mesh = make_mesh((2, 4))
+        fn = jax.jit(jax.value_and_grad(make_sharded_xent_loss(mesh)))
+        pooled = jax.device_put(pooled, NamedSharding(mesh, P("data", None)))
+        W = jax.device_put(W, NamedSharding(mesh, P(None, "model")))
+        loss, grad = fn(pooled, W, b, labels)
+        lr = _ref_loss(pooled, W, b, labels, "de")
+        assert abs(float(loss - lr)) < 1e-3
+        assert grad.sharding.spec == P("data", None)
+
+
+class TestFusedTrainOnMesh:
+    @pytest.mark.parametrize("model", ["loglinear", "lse_full"])
+    def test_step_parity_fused_vs_xla(self, model):
+        mesh = make_mesh((2, 4))
+        states = {}
+        for fused in ("on", "off"):
+            cfg = ModelConfig(model=model, vocab_size=V, num_entities=E,
+                              word_dim=8, entity_dim=8, fused_softmax=fused)
+            tcfg = TrainConfig(batch_size=16, learning_rate=1e-2,
+                               donate_state=False)
+            step, init_fn, put_fn = make_sharded_train_step(cfg, tcfg, mesh)
+            state = init_fn()
+            for i in range(3):
+                state, metrics = step(state, put_fn(_batch(i)))
+            states[fused] = jax.device_get(state.params)
+        for k in states["on"]:
+            np.testing.assert_allclose(np.asarray(states["on"][k]),
+                                       np.asarray(states["off"][k]),
+                                       atol=1e-5, rtol=1e-5)
+
+    def test_fused_params_stay_sharded(self):
+        cfg = ModelConfig(model="loglinear", vocab_size=V, num_entities=E,
+                          word_dim=8, fused_softmax="on")
+        tcfg = TrainConfig(batch_size=16, learning_rate=1e-2,
+                           donate_state=False)
+        mesh = make_mesh((2, 4))
+        step, init_fn, put_fn = make_sharded_train_step(cfg, tcfg, mesh)
+        state, _ = step(init_fn(), put_fn(_batch(0)))
+        spec = state.params["proj_w"].sharding.spec
+        assert spec == jax.sharding.PartitionSpec(None, "model")
+
+    def test_sampled_lse_rejects_fused(self):
+        from sert_tpu.parallel.fused_loss import make_sharded_fused_loss
+        cfg = ModelConfig(model="lse", vocab_size=V, num_entities=E,
+                          word_dim=8, entity_dim=8)
+        with pytest.raises(ValueError, match="full-softmax"):
+            make_sharded_fused_loss(cfg, make_mesh((2, 4)))
+
+    def test_indivisible_entities_rejected(self):
+        from sert_tpu.parallel.fused_loss import make_sharded_fused_loss
+        cfg = ModelConfig(model="loglinear", vocab_size=V, num_entities=42,
+                          word_dim=8, fused_softmax="on")
+        with pytest.raises(ValueError, match="divide"):
+            make_sharded_fused_loss(cfg, make_mesh((2, 4)))

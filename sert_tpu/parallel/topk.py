@@ -111,15 +111,41 @@ def _local_binmax_topk(R, mask, M_shard, bias_shard, k, is_ll,
     return top_s, top_i
 
 
-def _shard_body(R, term_emb, mask, M_shard, bias_shard, *, k, chunk, is_ll,
-                merge, axis, local_engine):
+def _shard_body(R, term_emb, mask, M_shard, bias_shard, *prep_arrays,
+                k, chunk, is_ll, merge, axis, local_engine):
     """Runs on each model-axis device inside shard_map."""
     n_shards = jax.lax.axis_size(axis)
     my = jax.lax.axis_index(axis)
     rows = M_shard.shape[0]
     offset = my * rows
 
-    if local_engine == "binmax":
+    if local_engine == "pallas":
+        # The single-chip perf centerpiece, per shard: fused binmax sweep +
+        # scalar-prefetch gather/rescore (ops/exact_topk). Scores never
+        # materialize in HBM — on a pod this keeps the sharded engine the
+        # FAST variant instead of the XLA re-derivation below. The staged
+        # matrices (prepare_distributed) arrive as extra sharded operands so
+        # repeated sweeps do not re-cast/pad the matrix (benchmarks/NOTES.md:
+        # re-preparing 512MB costs ~2 ms/sweep at E=1M).
+        from sert_tpu.ops.exact_topk import PreparedEntities, exact_topk_prepared
+        Mp_l, Mb_l = prep_arrays
+        prep = PreparedEntities(Mp_l, Mb_l, rows, M_shard.shape[1])
+        alpha = (jnp.sum(mask.astype(jnp.float32), axis=-1) if is_ll
+                 else None)
+        k_local = min(k, rows)
+        top_s, top_i = exact_topk_prepared(
+            R.astype(jnp.float32), prep,
+            bias=bias_shard.astype(jnp.float32) if is_ll else None,
+            alpha=alpha, k=k_local)
+        if k_local < k:  # tiny shard: pad to the global k for the merge
+            top_s = jnp.pad(top_s, ((0, 0), (0, k - k_local)),
+                            constant_values=-jnp.inf)
+            top_i = jnp.pad(top_i, ((0, 0), (0, k - k_local)))
+        run_max = run_sum = None
+        if is_ll:
+            run_max, run_sum = _local_lse(term_emb, mask, M_shard,
+                                          bias_shard, chunk)
+    elif local_engine == "binmax":
         top_s, top_i = _local_binmax_topk(R, mask, M_shard, bias_shard, k,
                                           is_ll)
         run_max = run_sum = None
@@ -167,11 +193,41 @@ def _shard_body(R, term_emb, mask, M_shard, bias_shard, *, k, chunk, is_ll,
     return top_s, top_i
 
 
+def prepare_distributed(params, cfg: ModelConfig, mesh: Mesh,
+                        similarity: str = "dot", te: int = 2048,
+                        rescore_dtype: str = "float32",
+                        prefilter_dtype: str = "bfloat16"):
+    """Stage the entity matrix for repeated ``local_engine="pallas"`` sweeps:
+    per-shard prepare_entities under shard_map, with the padded prefilter and
+    bin-major rescore views returned as model-axis-sharded globals. Pass the
+    result as ``distributed_topk(..., prep=...)`` — one-time cost, exactly
+    like the single-chip prepare_entities/pallas_topk pairing."""
+    from sert_tpu.ops.exact_topk import PreparedEntities, prepare_entities
+
+    M = _entity_matrix(params, cfg, similarity)
+    E, d = M.shape
+    tp = mesh.shape["model"]
+    if E % tp:
+        raise ValueError(f"num_entities={E} must divide by model axis {tp}")
+
+    def body(M_shard):
+        p = prepare_entities(M_shard, te=te, rescore_dtype=rescore_dtype,
+                             prefilter_dtype=prefilter_dtype)
+        return p.Mp, p.M_binned
+
+    Mp, Mb = jax.shard_map(
+        body, mesh=mesh, in_specs=(P("model", None),),
+        out_specs=(P("model", None), P("model", None, None)),
+        check_vma=False)(M)
+    return PreparedEntities(Mp, Mb, E // tp, d)
+
+
 def distributed_topk(params, cfg: ModelConfig, term_ids: jax.Array,
                      num_terms: jax.Array, mesh: Mesh, k: int = 100,
                      chunk: int = 32768, similarity: str = "dot",
                      merge: str = "allgather",
-                     local_engine: str = "binmax"
+                     local_engine: str = "binmax",
+                     prep=None
                      ) -> Tuple[jax.Array, jax.Array]:
     """Global top-k over an entity matrix sharded on mesh axis ``model``.
 
@@ -179,9 +235,11 @@ def distributed_topk(params, cfg: ModelConfig, term_ids: jax.Array,
     data-row. Entity count must divide evenly by the model-axis size (pad
     the entity matrix upstream if not — recipes do).
 
-    ``local_engine``: "binmax" (default — the exact prefilter algorithm per
-    shard, O(Q * E/n_shards) transient) or "scan" (fixed-memory chunked
-    sweep with per-chunk top-k merges).
+    ``local_engine``: "pallas" (the fused binmax + gather/rescore kernels
+    per shard — the single-chip fast path, SURVEY.md section 4.3), "binmax"
+    (default — same exact prefilter algorithm in partitionable XLA,
+    O(Q * E/n_shards) transient) or "scan" (fixed-memory chunked sweep with
+    per-chunk top-k merges).
     """
     E = api.entity_matrix(params, cfg).shape[0]
     k = min(k, E)
@@ -200,14 +258,22 @@ def distributed_topk(params, cfg: ModelConfig, term_ids: jax.Array,
     body = functools.partial(_shard_body, k=k, chunk=chunk, is_ll=is_ll,
                              merge=merge, axis="model",
                              local_engine=local_engine)
+    in_specs = [P("data", None), P("data", None, None), P("data", None),
+                P("model", None), P("model")]
+    args = [R, term_emb, mask, M, bias]
+    if local_engine == "pallas":
+        if prep is None:
+            prep = prepare_distributed(params, cfg, mesh,
+                                       similarity=similarity)
+        in_specs += [P("model", None), P("model", None, None)]
+        args += [prep.Mp, prep.M_binned]
     # check_vma=False: after the all_gather/ring merge every model-axis
     # device holds the same winners, but the static varying-axes analysis
     # cannot see through top_k to infer that replication.
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P("data", None), P("data", None, None), P("data", None),
-                  P("model", None), P("model")),
+        in_specs=tuple(in_specs),
         out_specs=(P("data", None), P("data", None)),
         check_vma=False,
     )
-    return fn(R, term_emb, mask, M, bias)
+    return fn(*args)

@@ -78,6 +78,10 @@ def score_topics(
         # place params on the mesh once (entity axis over "model")
         sh = state_shardings(params, mesh, cfg)
         params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, sh)
+        if sc.local_engine == "pallas":
+            from sert_tpu.parallel.topk import prepare_distributed
+            prep = prepare_distributed(params, cfg, mesh,
+                                       similarity=sc.similarity)
 
     B = sc.query_batch
     k = min(sc.top_k, E)
@@ -106,7 +110,7 @@ def score_topics(
             return distributed_topk(params, cfg, t, m, mesh, k=k,
                                     chunk=min(sc.entity_chunk, E),
                                     similarity=sc.similarity, merge=sc.merge,
-                                    local_engine=sc.local_engine)
+                                    local_engine=sc.local_engine, prep=prep)
         return streaming_topk(params, cfg, t, m, k=k, chunk=sc.entity_chunk,
                               similarity=sc.similarity)
 

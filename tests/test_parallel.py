@@ -187,7 +187,7 @@ class TestMeshTrainLoop:
 class TestDistributedTopk:
     @pytest.mark.parametrize("cfg", [CFG_LL, CFG_LSE], ids=["loglinear", "lse"])
     @pytest.mark.parametrize("merge", ["allgather", "ring"])
-    @pytest.mark.parametrize("local_engine", ["scan", "binmax"])
+    @pytest.mark.parametrize("local_engine", ["scan", "binmax", "pallas"])
     def test_matches_single_device(self, cfg, merge, local_engine):
         mesh = make_mesh((2, 4))
         params = api.init_params(jax.random.key(7), cfg)
@@ -201,7 +201,8 @@ class TestDistributedTopk:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
 
-    def test_binmax_local_engine_k_exceeds_shard(self):
+    @pytest.mark.parametrize("local_engine", ["binmax", "pallas"])
+    def test_local_engine_k_exceeds_shard(self, local_engine):
         """k larger than a shard's row count: local results pad with -inf
         and the merge still recovers the exact global top-k."""
         mesh = make_mesh((1, 8))
@@ -211,7 +212,7 @@ class TestDistributedTopk:
         want_s, _ = streaming_topk(params, cfg, term_ids, num_terms,
                                    k=16, chunk=16)
         got_s, _ = distributed_topk(params, cfg, term_ids, num_terms, mesh,
-                                    k=16, chunk=8, local_engine="binmax")
+                                    k=16, chunk=8, local_engine=local_engine)
         np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
                                    rtol=1e-4, atol=1e-5)
 

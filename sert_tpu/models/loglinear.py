@@ -71,7 +71,8 @@ def loss(params: Params, batch, cfg: ModelConfig,
         pooled = masked_mean_embed(params["word_emb"].astype(ct),
                                    batch["windows"], batch["lengths"])
         total = xent_loss(pooled.astype(jnp.float32), params["proj_w"],
-                          params["proj_b"], batch["entities"], "de")
+                          params["proj_b"], batch["entities"], "de",
+                          dtype=cfg.compute_dtype)
         return total / batch["windows"].shape[0]
     z = logits(params, batch["windows"], batch["lengths"], cfg)   # [B, E]
     lse = jax.scipy.special.logsumexp(z, axis=-1)                 # [B]

@@ -120,7 +120,8 @@ def loss_full_softmax(params: Params, batch, cfg: ModelConfig,
         from sert_tpu.ops.xent import xent_loss
         zeros_b = jnp.zeros((cfg.num_entities,), jnp.float32)
         total = xent_loss(reps.astype(jnp.float32), params["entity_emb"],
-                          zeros_b, batch["entities"], "ed")
+                          zeros_b, batch["entities"], "ed",
+                          dtype=cfg.compute_dtype)
         return total / batch["windows"].shape[0]
     ct = compute_dtype(cfg)
     z = jnp.dot(reps.astype(ct), params["entity_emb"].astype(ct).T,

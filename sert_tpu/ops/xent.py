@@ -5,15 +5,27 @@ full-softmax mode) is ``loss = mean(logsumexp(pooled @ W + b) - z_gold)``.
 Composed in XLA this materializes [B, E] logits in HBM three times (fwd,
 softmax, grad). These kernels never materialize them:
 
-  forward:  grid (B/tb, E/te); each step computes one logits tile in VMEM
-            and writes only per-tile (max, sumexp) partials — O(B * E/te).
-            The gold logit is one XLA gather (B rows).
-  backward: recomputes the logits tile (flash-attention style), forms
-            p = exp(z - lse) - onehot in VMEM, and accumulates
-            dW += pooled^T p  (grid (j, i): revisit across the inner i axis)
-            dpooled += p W^T  (grid (i, j): revisit across the inner j axis)
-            in two kernels, because each accumulator must be the innermost-
-            revisited output block to stay resident in VMEM.
+  forward:  grid (B/tb, ceil(E/te)); each step computes one logits tile in
+            VMEM and writes only per-tile (max, sumexp) partials —
+            O(B * E/te). The gold logit is one XLA gather (B rows).
+  backward: ONE fused sweep, grid (j, i) with the batch axis innermost:
+            recomputes the logits tile (flash-attention style), forms
+            p = exp(z - lse) - onehot in VMEM once, and feeds all grads —
+            dW += pooled^T p and db += sum p accumulate in the revisited
+            per-j VMEM block; dpooled is emitted as per-tile partials
+            dpp[j, i] = p W_j^T and reduced by one XLA sum (a [E/te, B, d]
+            transient costs ~1/3 of the second full z/exp sweep the
+            two-kernel round-1 design paid to revisit dpooled blocks).
+
+The big matrix W is consumed IN ITS STORAGE FORM — no pre-pass:
+  * no padding of the entity axis: the grid is ceil(E/te) and the last tile
+    reads out of bounds (Pallas TPU masks the DMA; contents unspecified),
+    with validity restored by an in-kernel ``col < E`` mask — any HBM-level
+    pad of a [d, E] matrix is a full extra copy (~2 ms at E=500k, more than
+    the matmul itself on this chip's effective bandwidth);
+  * no dtype pre-cast: ``dtype="bfloat16"`` casts each W tile in VMEM on
+    its way into the MXU (VPU work overlapped with the tile DMA), keeping
+    fp32 master weights in HBM with zero per-step cast passes.
 
 Entity matrix layout is static: "de" = [d, E] (log-linear proj_w) or
 "ed" = [E, d] (LSE entity_emb) — no transposes of the big matrix, ever.
@@ -40,20 +52,32 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _z_tile(p_ref, w_ref, b_ref, layout):
-    """One logits tile [tb, te] in fp32 from VMEM operands."""
+def _ct(dtype: str):
+    return jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
+
+def _z_tile(p_ref, w_ref, b_ref, j, *, te, e_total, layout, ct):
+    """One logits tile [tb, te] in fp32 from VMEM operands, with columns
+    beyond ``e_total`` (entity padding / OOB tail reads) forced to -1e30 so
+    they lose every max and vanish under exp."""
     p = p_ref[:]
+    w = w_ref[:].astype(ct)
     if layout == "de":
-        z = jnp.dot(p, w_ref[:], preferred_element_type=jnp.float32)
+        z = jnp.dot(p, w, preferred_element_type=jnp.float32)
     else:  # "ed": rows are entities
-        z = jnp.dot(p, w_ref[:].T, preferred_element_type=jnp.float32)
-    return z + b_ref[:]                     # b block [1, te]
+        z = jnp.dot(p, w.T, preferred_element_type=jnp.float32)
+    z = z + b_ref[:]                        # b block [1, te]
+    cols = j * te + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    return jnp.where(cols < e_total, z, -1e30)
 
 
 # --------------------------- forward ---------------------------------------
 
-def _fwd_kernel(p_ref, w_ref, b_ref, m_ref, s_ref, *, layout):
-    z = _z_tile(p_ref, w_ref, b_ref, layout)            # [tb, te]
+def _fwd_kernel(p_ref, w_ref, b_ref, m_ref, s_ref, *, te, e_total, layout,
+                ct):
+    j = pl.program_id(1)
+    z = _z_tile(p_ref, w_ref, b_ref, j, te=te, e_total=e_total,
+                layout=layout, ct=ct)                   # [tb, te]
     m = jnp.max(z, axis=-1)                             # [tb]
     s = jnp.sum(jnp.exp(z - m[:, None]), axis=-1)       # [tb]
     m_ref[0, 0, :] = m
@@ -62,25 +86,53 @@ def _fwd_kernel(p_ref, w_ref, b_ref, m_ref, s_ref, *, layout):
 
 # --------------------------- backward ---------------------------------------
 
-def _p_tile(p_ref, w_ref, b_ref, lse_ref, lab_ref, j, te, layout):
+def _p_tile(p_ref, w_ref, b_ref, lse_ref, lab_ref, j, *, te, e_total,
+            layout, ct):
     """softmax - onehot for one tile, in VMEM."""
-    z = _z_tile(p_ref, w_ref, b_ref, layout)
+    z = _z_tile(p_ref, w_ref, b_ref, j, te=te, e_total=e_total,
+                layout=layout, ct=ct)
     prob = jnp.exp(z - lse_ref[:])                      # lse block [tb, 1]
     cols = j * te + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
     onehot = (cols == lab_ref[:]).astype(jnp.float32)   # lab block [tb, 1]
     return prob - onehot
 
 
-def _bwd_w_kernel(p_ref, w_ref, b_ref, lse_ref, lab_ref, dw_ref, db_ref,
-                  *, te, layout):
+def _bwd_kernel(p_ref, w_ref, b_ref, lse_ref, lab_ref,
+                dw_ref, db_ref, dpp_ref, *, te, e_total, layout, ct):
+    """One fused backward sweep, grid (j, i) with i (batch) innermost.
+
+    Computes the p = softmax - onehot tile ONCE and feeds all three grads:
+      dW  [per-j block]: accumulated in VMEM across the inner i revisits,
+      db  [per-j block]: same accumulation,
+      dpooled: written as PER-TILE PARTIALS dpp[j, i-block] = p @ W_j^T and
+               reduced over j by one XLA sum afterwards — a [nE, Bp, d]
+               HBM transient is ~3x cheaper than a second full kernel sweep
+               recomputing z/exp just to revisit dpooled blocks (the round-1
+               two-kernel design; see benchmarks/NOTES.md round-2 row).
+    """
     j, i = pl.program_id(0), pl.program_id(1)
-    p = _p_tile(p_ref, w_ref, b_ref, lse_ref, lab_ref, j, te, layout)
+    p = _p_tile(p_ref, w_ref, b_ref, lse_ref, lab_ref, j, te=te,
+                e_total=e_total, layout=layout, ct=ct)
     pooled = p_ref[:]
+    w = w_ref[:].astype(ct)
+    # The dpp dot CONTRACTS over the entity axis, so the OOB tail tile's
+    # unspecified W contents must be zeroed (0 * NaN = NaN would leak into
+    # dpooled; dW/db are safe — p is exactly 0 on invalid columns and they
+    # contract over rows). One VPU select per tile, negligible.
+    eaxis = 1 if layout == "de" else 0
+    ecols = j * te + jax.lax.broadcasted_iota(jnp.int32, w.shape, eaxis)
+    w = jnp.where(ecols < e_total, w, jnp.zeros((), ct))
+    # p is fp32 from exp(); cast to the compute dtype so the dots hit the
+    # MXU at full rate (fp32 accumulation via preferred type).
+    pc = p.astype(ct)
     if layout == "de":
-        dw = jnp.dot(pooled.T, p, preferred_element_type=jnp.float32)
+        dw = jnp.dot(pooled.T, pc, preferred_element_type=jnp.float32)
+        dpp = jnp.dot(pc, w.T, preferred_element_type=jnp.float32)
     else:
-        dw = jnp.dot(p.T, pooled, preferred_element_type=jnp.float32)
+        dw = jnp.dot(pc.T, pooled, preferred_element_type=jnp.float32)
+        dpp = jnp.dot(pc, w, preferred_element_type=jnp.float32)
     db = jnp.sum(p, axis=0)[None, :]
+    dpp_ref[0] = dpp
 
     @pl.when(i == 0)
     def _():
@@ -91,24 +143,6 @@ def _bwd_w_kernel(p_ref, w_ref, b_ref, lse_ref, lab_ref, dw_ref, db_ref,
     def _():
         dw_ref[:] += dw
         db_ref[:] += db
-
-
-def _bwd_p_kernel(p_ref, w_ref, b_ref, lse_ref, lab_ref, dp_ref,
-                  *, te, layout):
-    i, j = pl.program_id(0), pl.program_id(1)
-    p = _p_tile(p_ref, w_ref, b_ref, lse_ref, lab_ref, j, te, layout)
-    if layout == "de":
-        dp = jnp.dot(p, w_ref[:].T, preferred_element_type=jnp.float32)
-    else:
-        dp = jnp.dot(p, w_ref[:], preferred_element_type=jnp.float32)
-
-    @pl.when(j == 0)
-    def _():
-        dp_ref[:] = dp
-
-    @pl.when(j > 0)
-    def _():
-        dp_ref[:] += dp
 
 
 # --------------------------- host-side wrappers -----------------------------
@@ -124,16 +158,19 @@ def _specs(tb, te, dp, layout):
     return p_spec_i, w_spec, b_spec
 
 
-def _fwd_partials(pooled, W, b, tb, te, layout, interpret):
+def _fwd_partials(pooled, W, b, tb, te, layout, interpret, e_total, ct):
+    """Per-tile (max, sumexp) partials, [nE, B] each. ``W`` is the raw
+    (unpadded-entity-axis) matrix; the last tile reads OOB and is masked."""
     B, dp = pooled.shape
-    nB, nE = B // tb, (W.shape[1] if layout == "de" else W.shape[0]) // te
+    nB, nE = B // tb, -(-e_total // te)
     p_spec, w_spec, b_spec = _specs(tb, te, dp, layout)
     w_idx = ((lambda i, j: (0, j)) if layout == "de" else (lambda i, j: (j, 0)))
     out_shape = [jax.ShapeDtypeStruct((nE, 1, B), jnp.float32)] * 2
     out_spec = pl.BlockSpec((1, 1, tb), lambda i, j: (j, 0, i),
                             memory_space=pltpu.VMEM)
     m, s = pl.pallas_call(
-        functools.partial(_fwd_kernel, layout=layout),
+        functools.partial(_fwd_kernel, te=te, e_total=e_total, layout=layout,
+                          ct=ct),
         grid=(nB, nE),
         in_specs=[p_spec, w_spec(w_idx), b_spec(lambda i, j: (0, j))],
         out_specs=[out_spec, out_spec],
@@ -143,83 +180,93 @@ def _fwd_partials(pooled, W, b, tb, te, layout, interpret):
     return m[:, 0, :], s[:, 0, :]          # [nE, B] each
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def xent_loss(pooled: jax.Array, W: jax.Array, b: jax.Array,
               labels: jax.Array, layout: str = "de",
-              tb: int = 256, te: int = 2048,
-              interpret: Optional[bool] = None) -> jax.Array:
+              tb: int = 256, te: int = 4096,
+              interpret: Optional[bool] = None,
+              dtype: str = "float32") -> jax.Array:
     """SUM of softmax cross-entropies over the batch (divide by B for the
     mean). pooled [B, d] fp32; W [d, E] ("de") or [E, d] ("ed"); b [E];
-    labels int32 [B]. B, d, E are padded internally."""
-    loss, _ = _xent_fwd(pooled, W, b, labels, layout, tb, te, interpret)
+    labels int32 [B]. B and d are padded internally (cheap); the entity
+    axis is consumed unpadded via OOB tail tiles (see module docstring).
+
+    ``dtype="bfloat16"`` runs every matmul (fwd logits, bwd dW/dpooled) on
+    bf16 MXU passes with fp32 accumulation, casting W tiles in VMEM —
+    softmax/exp/log stay fp32 and W keeps its storage dtype in HBM (fp32
+    master weights). Same numeric class as TPU's DEFAULT-precision f32
+    matmuls; parity tested against the XLA composition."""
+    loss, _ = _xent_fwd(pooled, W, b, labels, layout, tb, te, interpret,
+                        dtype)
     return loss
 
 
-def _prep(pooled, W, b, labels, layout, tb, te):
+def _prep(pooled, W, b, labels, layout, tb, te, ct=jnp.float32):
+    """Pad the SMALL operands (pooled rows to tb, the shared d axis to
+    LANES, bias to the tile grid, labels to tb) and cast pooled to the
+    compute dtype. W's entity axis is NOT padded and W is NOT cast — the
+    kernels handle both (OOB tail tiles + in-VMEM tile casts)."""
     B_orig = pooled.shape[0]
     E_orig = W.shape[1] if layout == "de" else W.shape[0]
-    pooled = _pad_to(_pad_to(pooled.astype(jnp.float32), 0, tb), 1, LANES)
-    # Padded batch rows: label 0 with zero pooled vector -> their loss is a
-    # constant log(E) which we SUBTRACT after; simpler: mask via labels = -1
-    # handled by gold-gather in XLA (padded rows contribute lse(0@W+b)-z0;
-    # we instead zero them in the final sum).
-    W = _pad_to(_pad_to(W.astype(jnp.float32), 0, te if layout == "ed" else LANES),
-                1, LANES if layout == "ed" else te)
+    pooled = _pad_to(_pad_to(pooled.astype(ct), 0, tb), 1, LANES)
+    # d-axis alignment: only copies when d % LANES != 0 (small models).
+    W = _pad_to(W, 0 if layout == "de" else 1, LANES)
+    nE = -(-E_orig // te)
     bpad = _pad_to(b.astype(jnp.float32)[None, :], 1, te)
+    if bpad.shape[1] != nE * te:  # guard: _pad_to only reaches next multiple
+        bpad = jnp.pad(bpad, ((0, 0), (0, nE * te - bpad.shape[1])))
     labels = _pad_to(labels.astype(jnp.int32), 0, tb)
     return pooled, W, bpad, labels, B_orig, E_orig
 
 
-def _xent_fwd(pooled, W, b, labels, layout, tb, te, interpret):
+def _xent_fwd(pooled, W, b, labels, layout, tb, te, interpret,
+              dtype="float32"):
     if interpret is None:
         interpret = _interpret_default()
+    ct = _ct(dtype)
     d_orig = pooled.shape[1]
-    pooled_p, W_p, b_p, labels_p, B, E = _prep(pooled, W, b, labels,
-                                               layout, tb, te)
-    Ep = W_p.shape[1] if layout == "de" else W_p.shape[0]
-    # Padded entity columns must not win the max: bias them to -inf.
-    col = jnp.arange(Ep)
-    b_masked = jnp.where(col[None, :] < E, b_p, -1e30)
+    pooled_p, W_k, b_p, labels_p, B, E = _prep(pooled, W, b, labels,
+                                               layout, tb, te, ct)
 
-    m, s = _fwd_partials(pooled_p, W_p, b_masked, tb, te, layout, interpret)
+    m, s = _fwd_partials(pooled_p, W_k, b_p, tb, te, layout, interpret, E, ct)
     M = jnp.max(m, axis=0)                               # [Bp]
     lse = M + jnp.log(jnp.sum(s * jnp.exp(m - M[None, :]), axis=0))
 
-    # gold logits via one XLA gather of W rows/cols
+    # gold logits via one XLA gather of W rows/cols; the elementwise product
+    # uses the SAME compute dtype as the kernel's MXU inputs, fp32-summed.
     if layout == "de":
-        w_gold = W_p[:, labels_p].T                      # [Bp, d]
+        w_gold = W_k[:, labels_p].T                      # [Bp, d]
     else:
-        w_gold = W_p[labels_p, :]                        # [Bp, d]
-    z_gold = jnp.sum(pooled_p * w_gold, axis=1) + b_p[0, labels_p]
+        w_gold = W_k[labels_p, :]                        # [Bp, d]
+    z_gold = (jnp.sum(pooled_p.astype(jnp.float32)
+                      * w_gold.astype(ct).astype(jnp.float32), axis=1)
+              + b_p[0, labels_p])
 
     row = jnp.arange(pooled_p.shape[0])
     per_row = jnp.where(row < B, lse - z_gold, 0.0)
     loss = jnp.sum(per_row)
-    residuals = (pooled_p, W_p, b_masked, labels_p, lse, B, E, d_orig)
+    residuals = (pooled_p, W_k, b_p, labels_p, lse, B, E, d_orig)
     return loss, residuals
 
 
-def _bwd_calls(pooled_p, W_p, b_masked, lse_m, lab_m, tb, te, layout,
-               interpret):
-    """The two backward pallas_calls on (padded) operands: returns
-    (dW [W_p.shape], db [1, Ep], dpooled [Bp, dp]), all fp32, unscaled.
-    ``lse_m`` [Bp, 1] must be poisoned (1e30) on rows that should not
-    contribute; ``lab_m`` [Bp, 1] holds LOCAL column indices or -1 for rows
-    whose gold column is not in W_p (sharded use) / padded rows."""
+def _bwd_calls(pooled_p, W_k, b_p, lse_m, lab_m, tb, te, layout, interpret,
+               e_total, ct):
+    """The fused backward pallas_call on (row-padded) operands: returns
+    (dW [padded-grid shape], db [1, nE*te], dpooled [Bp, dp]), all fp32,
+    unscaled. ``lse_m`` [Bp, 1] must be poisoned (1e30) on rows that should
+    not contribute; ``lab_m`` [Bp, 1] holds LOCAL column indices or -1 for
+    rows whose gold column is not in W_k (sharded use) / padded rows."""
     Bp, dp = pooled_p.shape
-    Ep = W_p.shape[1] if layout == "de" else W_p.shape[0]
-    nB, nE = Bp // tb, Ep // te
+    nB, nE = Bp // tb, -(-e_total // te)
+    Ep = nE * te
 
-    p_spec, w_spec, b_spec = _specs(tb, te, dp, layout)
-    # batch-row blocks: row index is i — the LAST grid axis in the (j, i)
-    # dW kernel, the FIRST in the (i, j) dpooled kernel.
-    def row_spec(pos):
-        return pl.BlockSpec((tb, 1), lambda *idx: (idx[pos], 0),
+    _, w_spec, b_spec = _specs(tb, te, dp, layout)
+    # batch-row blocks: row index is i — the LAST grid axis of the (j, i)
+    # fused backward grid.
+    def row_spec():
+        return pl.BlockSpec((tb, 1), lambda j, i: (i, 0),
                             memory_space=pltpu.VMEM)
-    lse_spec_ji, lab_spec_ji = row_spec(-1), row_spec(-1)
-    lse_spec_ij, lab_spec_ij = row_spec(0), row_spec(0)
 
-    # dW/db: grid (j, i) — i innermost so the dW_j block accumulates in VMEM
     w_idx_ji = ((lambda j, i: (0, j)) if layout == "de"
                 else (lambda j, i: (j, 0)))
     p_spec_ji = pl.BlockSpec((tb, dp), lambda j, i: (i, 0),
@@ -228,49 +275,41 @@ def _bwd_calls(pooled_p, W_p, b_masked, lse_m, lab_m, tb, te, layout,
     dw_block = ((dp, te) if layout == "de" else (te, dp))
     dw_idx = ((lambda j, i: (0, j)) if layout == "de"
               else (lambda j, i: (j, 0)))
-    dW, db = pl.pallas_call(
-        functools.partial(_bwd_w_kernel, te=te, layout=layout),
+    dW, db, dpp = pl.pallas_call(
+        functools.partial(_bwd_kernel, te=te, e_total=e_total, layout=layout,
+                          ct=ct),
         grid=(nE, nB),
         in_specs=[p_spec_ji, w_spec(w_idx_ji), b_spec(lambda j, i: (0, j)),
-                  lse_spec_ji, lab_spec_ji],
+                  row_spec(), row_spec()],
         out_specs=[pl.BlockSpec(dw_block, dw_idx, memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, te), lambda j, i: (0, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, tb, dp), lambda j, i: (j, i, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct(dw_shape, jnp.float32),
-                   jax.ShapeDtypeStruct((1, Ep), jnp.float32)],
+                   jax.ShapeDtypeStruct((1, Ep), jnp.float32),
+                   jax.ShapeDtypeStruct((nE, Bp, dp), jnp.float32)],
         interpret=interpret,
-    )(pooled_p, W_p, b_masked, lse_m, lab_m)
-
-    # dpooled: grid (i, j) — j innermost so the dpooled_i block accumulates
-    w_idx_ij = ((lambda i, j: (0, j)) if layout == "de"
-                else (lambda i, j: (j, 0)))
-    dpooled = pl.pallas_call(
-        functools.partial(_bwd_p_kernel, te=te, layout=layout),
-        grid=(nB, nE),
-        in_specs=[p_spec, w_spec(w_idx_ij), b_spec(lambda i, j: (0, j)),
-                  lse_spec_ij, lab_spec_ij],
-        out_specs=pl.BlockSpec((tb, dp), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, dp), jnp.float32),
-        interpret=interpret,
-    )(pooled_p, W_p, b_masked, lse_m, lab_m)
+    )(pooled_p, W_k, b_p, lse_m, lab_m)
+    dpooled = jnp.sum(dpp, axis=0)                      # [Bp, dp], one pass
     return dW, db, dpooled
 
 
-def _xent_bwd(layout, tb, te, interpret, residuals, g):
+def _xent_bwd(layout, tb, te, interpret, dtype, residuals, g):
     if interpret is None:
         interpret = _interpret_default()
-    pooled_p, W_p, b_masked, labels_p, lse, B, E, d_orig = residuals
+    ct = _ct(dtype)
+    pooled_p, W_k, b_p, labels_p, lse, B, E, d_orig = residuals
     Bp = pooled_p.shape[0]
 
     # Padded batch rows must contribute zero grad: poison their lse so
-    # exp(z - lse) ~ 0, and point their label at a padded column.
+    # exp(z - lse) ~ 0, and point their label at an invalid column.
     row = jnp.arange(Bp)
     lse_m = jnp.where(row < B, lse, 1e30)[:, None]       # [Bp, 1]
     lab_m = jnp.where(row < B, labels_p, -1)[:, None]    # [Bp, 1]
 
-    dW, db, dpooled = _bwd_calls(pooled_p, W_p, b_masked, lse_m, lab_m,
-                                 tb, te, layout, interpret)
+    dW, db, dpooled = _bwd_calls(pooled_p, W_k, b_p, lse_m, lab_m,
+                                 tb, te, layout, interpret, E, ct)
     g = g.astype(jnp.float32)
     if layout == "de":
         dW_out = g * dW[:d_orig, :E]
@@ -295,10 +334,10 @@ xent_loss.defvjp(_xent_fwd, _xent_bwd)
 #   forward:  per-shard (max, sumexp) over local entity tiles
 #             -> pmax/psum over the ``model`` axis = global logsumexp;
 #             gold logit contributed only by the shard owning the label
-#             column -> psum over ``model``; row losses summed locally,
-#             psum over ``data``.
-#   backward: dW/db computed from local batch rows -> psum over ``data``;
-#             dpooled from local entity columns -> psum over ``model``.
+#             column -> psum over ``model``; row losses summed locally.
+#   backward: plain per-shard dW/db/dpooled from the fused kernel; the
+#             shard_map transpose's replicated-axis psums perform the
+#             cross-shard reductions (see the note inside).
 #             Off-shard gold columns enter the kernel as label -1 (the
 #             onehot never fires on this shard — the owning shard supplies
 #             the -1 term of softmax-minus-onehot).
@@ -310,8 +349,9 @@ xent_loss.defvjp(_xent_fwd, _xent_bwd)
 def make_sharded_xent_loss(mesh, layout: str = "de",
                            data_axis: str = "data",
                            model_axis: str = "model",
-                           tb: int = 256, te: int = 2048,
-                           interpret: Optional[bool] = None):
+                           tb: int = 256, te: int = 4096,
+                           interpret: Optional[bool] = None,
+                           dtype: str = "float32"):
     """Build ``fn(pooled [B,d], W, b [E], labels [B]) -> scalar loss SUM``
     where W/b are sharded over ``model_axis`` (entity axis) and pooled/labels
     over ``data_axis``, using the fused Pallas kernels per shard.
@@ -333,6 +373,7 @@ def make_sharded_xent_loss(mesh, layout: str = "de",
     # math needs, so the bwd below returns plain local grads with no
     # explicit collectives.
     n_model = mesh.shape[model_axis]
+    ct = _ct(dtype)
 
     @jax.custom_vjp
     def _loss(pooled_l, W_l, b_l, labels_l):
@@ -343,13 +384,10 @@ def make_sharded_xent_loss(mesh, layout: str = "de",
         ip = _interpret_default() if interpret is None else interpret
         d_orig = pooled_l.shape[1]
         # _prep pads the LOCAL block; its E_orig is the local row/col count.
-        pooled_p, W_p, b_p, labels_p, Bl, El = _prep(
-            pooled_l, W_l, b_l, labels_l, layout, tb, te)
-        Ep = W_p.shape[1] if layout == "de" else W_p.shape[0]
-        col = jnp.arange(Ep)
-        b_masked = jnp.where(col[None, :] < El, b_p, -1e30)
+        pooled_p, W_k, b_p, labels_p, Bl, El = _prep(
+            pooled_l, W_l, b_l, labels_l, layout, tb, te, ct)
 
-        m, s = _fwd_partials(pooled_p, W_p, b_masked, tb, te, layout, ip)
+        m, s = _fwd_partials(pooled_p, W_k, b_p, tb, te, layout, ip, El, ct)
         M_l = jnp.max(m, axis=0)                            # [Bp] local max
         S_l = jnp.sum(s * jnp.exp(m - M_l[None, :]), axis=0)
         g_max = jax.lax.pmax(M_l, model_axis)
@@ -361,12 +399,14 @@ def make_sharded_xent_loss(mesh, layout: str = "de",
         in_shard = (lab_loc >= 0) & (lab_loc < El)
         idx = jnp.clip(lab_loc, 0, El - 1)
         if layout == "de":
-            w_gold = W_p[:, idx].T                          # [Bp, dp]
+            w_gold = W_k[:, idx].T                          # [Bp, dp]
         else:
-            w_gold = W_p[idx, :]
+            w_gold = W_k[idx, :]
         z_gold_l = jnp.where(
             in_shard,
-            jnp.sum(pooled_p * w_gold, axis=1) + b_p[0, idx], 0.0)
+            jnp.sum(pooled_p.astype(jnp.float32)
+                    * w_gold.astype(ct).astype(jnp.float32), axis=1)
+            + b_p[0, idx], 0.0)
         z_gold = jax.lax.psum(z_gold_l, model_axis)         # [Bp] GLOBAL
 
         row = jnp.arange(pooled_p.shape[0])
@@ -377,19 +417,19 @@ def make_sharded_xent_loss(mesh, layout: str = "de",
         # wrapper's sum over all shards reassembles the total exactly.
         local = jnp.sum(jnp.where(valid, lse - z_gold, 0.0))[None] / n_model
         lab_kernel = jnp.where(valid & in_shard, idx, -1)   # LOCAL col or -1
-        residuals = (pooled_p, W_p, b_masked, lab_kernel, lse, Bl, El, d_orig)
+        residuals = (pooled_p, W_k, b_p, lab_kernel, lse, Bl, El, d_orig)
         return local, residuals
 
     def _bwd(residuals, g):
         ip = _interpret_default() if interpret is None else interpret
-        pooled_p, W_p, b_masked, lab_kernel, lse, Bl, El, d_orig = residuals
+        pooled_p, W_k, b_p, lab_kernel, lse, Bl, El, d_orig = residuals
         Bp = pooled_p.shape[0]
         row = jnp.arange(Bp)
         lse_m = jnp.where(row < Bl, lse, 1e30)[:, None]
         lab_m = lab_kernel[:, None]
 
-        dW, db, dpooled = _bwd_calls(pooled_p, W_p, b_masked, lse_m, lab_m,
-                                     tb, te, layout, ip)
+        dW, db, dpooled = _bwd_calls(pooled_p, W_k, b_p, lse_m, lab_m,
+                                     tb, te, layout, ip, El, ct)
         # Plain LOCAL grads: the shard_map transpose psums dW/db over
         # ``data`` (they enter replicated over it) and dpooled over
         # ``model`` — no collectives here (see note above _loss).

@@ -41,7 +41,8 @@ def make_sharded_fused_loss(cfg: ModelConfig, mesh: Mesh):
             f"num_entities={cfg.num_entities} must divide the model axis "
             f"({tp}) for the sharded fused kernel; pad the entity count")
     layout = "de" if cfg.model == "loglinear" else "ed"
-    xent = make_sharded_xent_loss(mesh, layout=layout)
+    xent = make_sharded_xent_loss(mesh, layout=layout,
+                                  dtype=cfg.compute_dtype)
 
     def loss_fn(params, batch, cfg_: ModelConfig, rng=None,
                 noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:

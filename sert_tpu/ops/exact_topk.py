@@ -55,27 +55,34 @@ class PreparedEntities(NamedTuple):
     Registered as a pytree with the sizes as STATIC aux data so jit treats
     them as compile-time constants."""
     Mp: jax.Array        # [Ep, dp] bf16, padded for the Pallas sweep
-    M_binned: jax.Array  # [n_bins, 128, d] rescore-dtype, bin-contiguous
+    M_binned: jax.Array  # [n_bins, bin_width, d] rescore-dtype, contiguous
     num_entities: int
     dim: int
+    bin_width: int = LANES
 
 
 jax.tree_util.register_pytree_node(
     PreparedEntities,
-    lambda p: ((p.Mp, p.M_binned), (p.num_entities, p.dim)),
-    lambda aux, ch: PreparedEntities(ch[0], ch[1], aux[0], aux[1]),
+    lambda p: ((p.Mp, p.M_binned), (p.num_entities, p.dim, p.bin_width)),
+    lambda aux, ch: PreparedEntities(ch[0], ch[1], *aux),
 )
 
 
-def prepare_entities(M: jax.Array, te: int = 2048,
+def prepare_entities(M: jax.Array, te: int = 4096,
                      rescore_dtype: str = "float32",
-                     prefilter_dtype: str = "bfloat16") -> PreparedEntities:
+                     prefilter_dtype: str = "bfloat16",
+                     bin_width: int = LANES) -> PreparedEntities:
+    """``bin_width``: entities per prefilter/rescore bin. The exactness
+    argument is width-independent (top-k spans <= k+pad bins either way);
+    64 halves the rescore gather bytes vs 128 but ALSO halves the gather's
+    DMA block to 16KB, dropping effective bandwidth ~40% — measured a wash
+    at E=1M, so 128 stays the default (benchmarks/NOTES.md)."""
     E, d = M.shape
     rdt = jnp.bfloat16 if rescore_dtype == "bfloat16" else jnp.float32
     pdt = jnp.bfloat16 if prefilter_dtype == "bfloat16" else jnp.float32
-    M_binned = _pad_to(M.astype(rdt), 0, LANES).reshape(-1, LANES, d)
+    M_binned = _pad_to(M.astype(rdt), 0, bin_width).reshape(-1, bin_width, d)
     return PreparedEntities(prepare_binmax_matrix(M, te=te, dtype=pdt),
-                            M_binned, E, d)
+                            M_binned, E, d, bin_width)
 
 
 def hierarchical_topk(x: jax.Array, k: int, m: Optional[int] = None,
@@ -122,8 +129,8 @@ def hierarchical_topk(x: jax.Array, k: int, m: Optional[int] = None,
 def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
                         bias: Optional[jax.Array] = None,
                         alpha: Optional[jax.Array] = None,
-                        k: int = 100, pad_bins: int = 16,
-                        tq: int = 256, te: int = 2048,
+                        k: int = 100, pad_bins: int = 12,
+                        tq: int = 256, te: int = 4096,
                         interpret: Optional[bool] = None,
                         fused_rescore: bool = True,
                         ) -> Tuple[jax.Array, jax.Array]:
@@ -142,19 +149,23 @@ def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
 
     Q, d = R.shape
     E = prep.num_entities
+    bw = prep.bin_width
     k = min(k, E)
 
     bins = score_binmax_prepared(R, prep.Mp, E, bias, alpha,
-                                 tq=tq, te=te, interpret=interpret)
+                                 tq=tq, te=te, interpret=interpret,
+                                 bin_width=bw)
     nb_total = bins.shape[1]
     nb = min(k + pad_bins, nb_total)
 
-    # Flat top_k here: with ~nb winners over only E/16384 groups the
-    # hierarchical fast path's verified fallback fires too often to pay
-    # (measured ~5% slower end-to-end than flat at E=1M).
-    _, bin_idx = jax.lax.top_k(bins, nb)                     # [Q, nb]
-    ent_idx = (bin_idx[:, :, None] * LANES
-               + jnp.arange(LANES)[None, None, :]).reshape(Q, nb * LANES)
+    # Bins selection: hierarchical with m=16 (top-16 per 128-bin group +
+    # verified-exact fallback). Round-1 used flat top_k because m=8 fired
+    # the fallback too often at nb~116 winners / 61 groups; m=16 over the
+    # (2x longer at bin_width=64) bins array measures ~0.5 ms faster than
+    # flat and the fallback stays rare (NOTES.md round-2 row).
+    _, bin_idx = hierarchical_topk(bins, nb, m=16)           # [Q, nb]
+    ent_idx = (bin_idx[:, :, None] * bw
+               + jnp.arange(bw)[None, None, :]).reshape(Q, nb * bw)
     valid = ent_idx < E
 
     if fused_rescore:
@@ -166,8 +177,8 @@ def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
     else:
         safe_idx = jax.lax.optimization_barrier(bin_idx)
         Mg = prep.M_binned.at[safe_idx].get(
-            mode="promise_in_bounds")                        # [Q, nb, 128, d]
-        Mg = Mg.reshape(Q, nb * LANES, d)
+            mode="promise_in_bounds")                        # [Q, nb, bw, d]
+        Mg = Mg.reshape(Q, nb * bw, d)
         sc = jnp.einsum("qd,qnd->qn", R.astype(Mg.dtype), Mg,
                         preferred_element_type=jnp.float32)
 
@@ -179,19 +190,19 @@ def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
     sc = jnp.where(valid, sc, -jnp.inf)
 
     # Final selection over the candidates, then positions -> entity ids
-    # arithmetically (pos = b*128 + l within the candidate layout; a
+    # arithmetically (pos = b*bw + l within the candidate layout; a
     # take_along_axis gather over ent_idx costs more than the selection).
     top_s, pos = hierarchical_topk(sc, k)
-    sel_bin = jnp.take_along_axis(bin_idx, pos // LANES, axis=1)  # [Q, k]
-    top_i = sel_bin * LANES + pos % LANES
+    sel_bin = jnp.take_along_axis(bin_idx, pos // bw, axis=1)     # [Q, k]
+    top_i = sel_bin * bw + pos % bw
     return top_s, top_i
 
 
 def exact_topk(R: jax.Array, M: jax.Array,
                bias: Optional[jax.Array] = None,
                alpha: Optional[jax.Array] = None,
-               k: int = 100, pad_bins: int = 16,
-               tq: int = 256, te: int = 2048,
+               k: int = 100, pad_bins: int = 12,
+               tq: int = 256, te: int = 4096,
                interpret: Optional[bool] = None,
                rescore_dtype: str = "float32",
                ) -> Tuple[jax.Array, jax.Array]:

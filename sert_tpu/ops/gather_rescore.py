@@ -28,16 +28,16 @@ LANES = 128
 QB = 16  # default queries per grid step (benchmarks/NOTES.md: best of {8,16,32})
 
 
-def _kernel(idx_ref, r_ref, *refs, qb, lanes, d):
+def _kernel(idx_ref, r_ref, *refs, qb, bw, d):
     # refs = (m_0, ..., m_{qb-1}, o_ref)
     m_refs, o_ref = refs[:-1], refs[-1]
     r_block = r_ref[:].astype(jnp.float32)              # [QB, d]
     rows = []
     for r in range(qb):
-        mrow = m_refs[r][0].astype(jnp.float32)         # [128, d]
+        mrow = m_refs[r][0].astype(jnp.float32)         # [bw, d]
         rows.append(jnp.dot(mrow, r_block[r, :],
-                            preferred_element_type=jnp.float32))   # [128]
-    o_ref[0] = jnp.stack(rows, axis=0)                  # [QB, 128]
+                            preferred_element_type=jnp.float32))   # [bw]
+    o_ref[0] = jnp.stack(rows, axis=0)                  # [QB, bw]
 
 
 # The bin-index table is scalar-prefetched into SMEM (~1MB total); chunk
@@ -49,11 +49,11 @@ _SMEM_IDX_BUDGET = 1 << 18  # bytes of bin_idx per pallas_call
 @functools.partial(jax.jit, static_argnames=("interpret", "qb"))
 def gather_rescore(R: jax.Array, M_binned: jax.Array, bin_idx: jax.Array,
                    interpret: Optional[bool] = None, qb: int = QB) -> jax.Array:
-    """[Q, NB*128] exact scores of the selected bins.
+    """[Q, NB*bw] exact scores of the selected bins.
 
     R [Q, d] (Q must be a multiple of 8; pad upstream), M_binned
-    [n_bins, 128, d] (from ops.exact_topk.prepare_entities), bin_idx [Q, NB]
-    int32 in [0, n_bins).
+    [n_bins, bw, d] (from ops.exact_topk.prepare_entities; bw = bin width,
+    64 or 128), bin_idx [Q, NB] int32 in [0, n_bins).
     """
     Q = R.shape[0]
     NB = bin_idx.shape[1]
@@ -74,12 +74,13 @@ def _gather_rescore_one(R: jax.Array, M_binned: jax.Array, bin_idx: jax.Array,
         interpret = jax.default_backend() != "tpu"
     Q, d = R.shape
     NB = bin_idx.shape[1]
+    bw = M_binned.shape[1]
     assert Q % qb == 0, f"Q={Q} must be a multiple of {qb}"
 
     grid = (Q // qb, NB)
 
     def m_spec(r):
-        return pl.BlockSpec((1, LANES, d),
+        return pl.BlockSpec((1, bw, d),
                             lambda i, j, idx: (idx[i * qb + r, j], 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -91,16 +92,16 @@ def _gather_rescore_one(R: jax.Array, M_binned: jax.Array, bin_idx: jax.Array,
                          memory_space=pltpu.VMEM),
             *[m_spec(r) for r in range(qb)],
         ],
-        out_specs=pl.BlockSpec((1, qb, LANES), lambda i, j, idx: (j, i, 0),
+        out_specs=pl.BlockSpec((1, qb, bw), lambda i, j, idx: (j, i, 0),
                                memory_space=pltpu.VMEM),
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, qb=qb, lanes=LANES, d=d),
+        functools.partial(_kernel, qb=qb, bw=bw, d=d),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NB, Q, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NB, Q, bw), jnp.float32),
         interpret=interpret,
     )(bin_idx, R.astype(M_binned.dtype), *([M_binned] * qb))
 
-    # [NB, Q, 128] -> [Q, NB*128]
-    return jnp.moveaxis(out, 0, 1).reshape(Q, NB * LANES)
+    # [NB, Q, bw] -> [Q, NB*bw]
+    return jnp.moveaxis(out, 0, 1).reshape(Q, NB * bw)

@@ -28,15 +28,35 @@ LANES = 128
 # block would violate Mosaic's (8, 128)-divisible block rule, but its
 # transpose [TE/128, TQ] tiles cleanly.
 
-def _kernel_bias(r_ref, m_ref, b_ref, a_ref, o_ref, *, tq, te):
+def _binmax_tile(s, tq, te, bw):
+    """[TQ, TE] scores -> [TE/bw, TQ] per-bin maxima (transposed).
+
+    For bw < LANES, Mosaic cannot shape-cast the lane axis below 128, so
+    sub-bin maxima are computed as masked maxes over the 128-lane groups and
+    interleaved on the SUBLANE axis (leading-dim reshape is supported);
+    bin order stays entity order: bin = group*(LANES//bw) + part."""
+    nb = te // LANES
+    s3 = s.reshape(tq, nb, LANES)
+    if bw == LANES:
+        return jnp.max(s3, axis=-1).T
+    lane = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+    parts = []
+    for k in range(LANES // bw):
+        m = jnp.max(jnp.where((lane >= k * bw) & (lane < (k + 1) * bw),
+                              s3, float("-inf")), axis=-1)      # [tq, nb]
+        parts.append(m.T)                                       # [nb, tq]
+    return jnp.stack(parts, axis=1).reshape((LANES // bw) * nb, tq)
+
+
+def _kernel_bias(r_ref, m_ref, b_ref, a_ref, o_ref, *, tq, te, bw):
     s = jnp.dot(r_ref[:], m_ref[:].T, preferred_element_type=jnp.float32)
     s = s + a_ref[:] * b_ref[:]          # [TQ,1] * [1,TE] broadcast
-    o_ref[:] = jnp.max(s.reshape(tq, te // LANES, LANES), axis=-1).T
+    o_ref[:] = _binmax_tile(s, tq, te, bw)
 
 
-def _kernel_nobias(r_ref, m_ref, o_ref, *, tq, te):
+def _kernel_nobias(r_ref, m_ref, o_ref, *, tq, te, bw):
     s = jnp.dot(r_ref[:], m_ref[:].T, preferred_element_type=jnp.float32)
-    o_ref[:] = jnp.max(s.reshape(tq, te // LANES, LANES), axis=-1).T
+    o_ref[:] = _binmax_tile(s, tq, te, bw)
 
 
 def _pad_to(x: jax.Array, axis: int, mult: int, value=0):
@@ -63,19 +83,25 @@ def prepare_binmax_matrix(M: jax.Array, te: int = 2048,
 
 
 @functools.partial(jax.jit, static_argnames=("num_entities", "tq", "te",
-                                             "interpret"))
+                                             "interpret", "bin_width"))
 def score_binmax_prepared(R: jax.Array, Mp: jax.Array, num_entities: int,
                           bias: Optional[jax.Array] = None,
                           alpha: Optional[jax.Array] = None,
                           tq: int = 256, te: int = 2048,
-                          interpret: Optional[bool] = None) -> jax.Array:
-    """[Q, ceil(E/128)] bin maxima of R @ M^T (+ alpha*bias).
+                          interpret: Optional[bool] = None,
+                          bin_width: int = LANES) -> jax.Array:
+    """[Q, ceil(E/bin_width)] bin maxima of R @ M^T (+ alpha*bias).
 
     ``Mp`` must come from :func:`prepare_binmax_matrix`. bias [E] and alpha
     [Q] are optional (log-linear's per-entity bias scaled by the per-query
     term count). Entity padding produces -inf bins the caller can trust to
     lose any merge; the tail PARTIAL bin may be inflated by padding — the
     exact_topk wrapper budgets extra bins for it.
+
+    ``bin_width`` (64 or 128): smaller bins double the prefilter output but
+    HALVE the bytes the rescore gather must read — the top-k still spans at
+    most k+pad bins regardless of width (each winner needs its bin fetched
+    once). 64 is the measured throughput sweet spot at E=1M (NOTES.md).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -86,11 +112,12 @@ def score_binmax_prepared(R: jax.Array, Mp: jax.Array, num_entities: int,
     Rp = _pad_to(Rp, 1, LANES)
     Qp, Ep, dp = Rp.shape[0], Mp.shape[0], Rp.shape[1]
     assert Mp.shape[1] == dp, "R/M dim mismatch after padding"
-    n_bins_padded = Ep // LANES
+    assert te % bin_width == 0 and LANES % bin_width == 0
+    n_bins_padded = Ep // bin_width
 
     grid = (Qp // tq, Ep // te)
     out_shape = jax.ShapeDtypeStruct((n_bins_padded, Qp), jnp.float32)
-    out_spec = pl.BlockSpec((te // LANES, tq),
+    out_spec = pl.BlockSpec((te // bin_width, tq),
                             lambda i, j: (j, i),
                             memory_space=pltpu.VMEM)
     r_spec = pl.BlockSpec((tq, dp), lambda i, j: (i, 0),
@@ -104,7 +131,7 @@ def score_binmax_prepared(R: jax.Array, Mp: jax.Array, num_entities: int,
         bp = _pad_to(bias.astype(jnp.float32)[None, :], 1, te)
         ap = _pad_to(alpha.astype(jnp.float32)[:, None], 0, tq)
         bins = pl.pallas_call(
-            functools.partial(_kernel_bias, tq=tq, te=te),
+            functools.partial(_kernel_bias, tq=tq, te=te, bw=bin_width),
             grid=grid,
             in_specs=[r_spec, m_spec,
                       pl.BlockSpec((1, te), lambda i, j: (0, j),
@@ -117,7 +144,7 @@ def score_binmax_prepared(R: jax.Array, Mp: jax.Array, num_entities: int,
         )(Rp, Mp, bp, ap)
     else:
         bins = pl.pallas_call(
-            functools.partial(_kernel_nobias, tq=tq, te=te),
+            functools.partial(_kernel_nobias, tq=tq, te=te, bw=bin_width),
             grid=grid,
             in_specs=[r_spec, m_spec],
             out_specs=out_spec,
@@ -127,7 +154,7 @@ def score_binmax_prepared(R: jax.Array, Mp: jax.Array, num_entities: int,
 
     bins = bins.T[:Q]
     # Bins made ENTIRELY of padded entities are exactly known: mask to -inf.
-    n_valid_bins = -(-E // LANES)
+    n_valid_bins = -(-E // bin_width)
     return bins[:, :n_valid_bins]
 
 

@@ -129,7 +129,8 @@ def _shard_body(R, term_emb, mask, M_shard, bias_shard, *prep_arrays,
         # re-preparing 512MB costs ~2 ms/sweep at E=1M).
         from sert_tpu.ops.exact_topk import PreparedEntities, exact_topk_prepared
         Mp_l, Mb_l = prep_arrays
-        prep = PreparedEntities(Mp_l, Mb_l, rows, M_shard.shape[1])
+        prep = PreparedEntities(Mp_l, Mb_l, rows, M_shard.shape[1],
+                                Mb_l.shape[1])
         alpha = (jnp.sum(mask.astype(jnp.float32), axis=-1) if is_ll
                  else None)
         k_local = min(k, rows)
@@ -219,7 +220,7 @@ def prepare_distributed(params, cfg: ModelConfig, mesh: Mesh,
         body, mesh=mesh, in_specs=(P("model", None),),
         out_specs=(P("model", None), P("model", None, None)),
         check_vma=False)(M)
-    return PreparedEntities(Mp, Mb, E // tp, d)
+    return PreparedEntities(Mp, Mb, E // tp, d, Mb.shape[1])
 
 
 def distributed_topk(params, cfg: ModelConfig, term_ids: jax.Array,

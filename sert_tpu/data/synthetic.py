@@ -42,8 +42,33 @@ def make_synthetic(
     num_topics: int = 32,
     query_len: int = 3,
     seed: int = 0,
+    hard: bool = False,
+    group_size: int = 4,
+    doc_skew: float = 0.8,
 ) -> SyntheticCollection:
-    """Build a planted-signal collection. Fully deterministic in ``seed``."""
+    """Build a planted-signal collection. Fully deterministic in ``seed``.
+
+    ``hard=False`` (default): disjoint signatures, uniform doc counts, one
+    grade-1 relevant entity per topic — a correct model saturates NDCG near
+    1.0 (useful as a smoke floor, useless for regression detection once
+    saturated — round-1 VERDICT weakness 2).
+
+    ``hard=True`` plants CONFUSABLE structure so trained-model NDCG lands in
+    a discriminating band instead of the ceiling:
+      * distractor groups: entities come in groups of ``group_size`` whose
+        signatures share half their terms (polysemous planted terms); only
+        the private half disambiguates, so sloppy models rank siblings up;
+      * Zipf association skew: entity i gets ``docs_per_entity`` scaled by
+        (rank+1)^-doc_skew (min 1 doc) — tail entities are data-starved;
+      * graded qrels: the queried entity is grade 2 and its group siblings
+        grade 1 (they genuinely match the query's shared terms), making
+        NDCG smooth in ranking quality rather than 0/1;
+      * queries mix private and shared signature terms with at least one
+        private term, so a perfect model CAN still rank the truth first.
+    Sampled-softmax bias, top-k boundary bugs, and under-training all show
+    up as visible NDCG drops here (tests/test_quality.py injects a biased
+    negative sampler to prove it).
+    """
     rng = np.random.default_rng(seed)
     terms = [_term(i) for i in range(vocab_size)]
 
@@ -58,14 +83,42 @@ def make_synthetic(
     # large collections (entities * signature_size > pool) get overlapping
     # but still entity-identifying signatures.
     sig_pool = rng.permutation(np.arange(vocab_size // 4, vocab_size))
-    signatures = []
     pos = 0
-    for _ in range(num_entities):
-        if pos + signature_size > sig_pool.shape[0]:
+
+    def deal(n):
+        nonlocal sig_pool, pos
+        if pos + n > sig_pool.shape[0]:
             sig_pool = rng.permutation(sig_pool)
             pos = 0
-        signatures.append(sig_pool[pos:pos + signature_size].copy())
-        pos += signature_size
+        out = sig_pool[pos:pos + n].copy()
+        pos += n
+        return out
+
+    signatures = []
+    private_masks = []  # hard mode: which signature slots disambiguate
+    if hard:
+        shared_n = signature_size // 2
+        private_n = signature_size - shared_n
+        for gstart in range(0, num_entities, group_size):
+            shared = deal(shared_n)
+            for _ in range(min(group_size, num_entities - gstart)):
+                sig = np.concatenate([shared, deal(private_n)])
+                signatures.append(sig)
+                private_masks.append(
+                    np.arange(signature_size) >= shared_n)
+    else:
+        for _ in range(num_entities):
+            signatures.append(deal(signature_size))
+            private_masks.append(np.ones(signature_size, bool))
+
+    # Association skew: docs per entity (uniform unless hard).
+    if hard:
+        w = (np.arange(num_entities, dtype=np.float64) + 1.0) ** (-doc_skew)
+        w *= num_entities / w.sum()          # mean 1.0
+        n_docs = np.maximum(1, np.round(docs_per_entity * w)).astype(int)
+    else:
+        n_docs = np.full(num_entities, docs_per_entity, int)
+    max_docs = int(n_docs.max())
 
     entities = [f"entity{i:04d}" for i in range(num_entities)]
     docs: Dict[str, str] = {}
@@ -73,28 +126,46 @@ def make_synthetic(
     # One vectorized draw for every token of every document (a per-doc
     # Python loop took minutes at 200k entities).
     sig_matrix = np.stack(signatures)                       # [E, sig]
-    shape = (num_entities, docs_per_entity, doc_len)
+    shape = (num_entities, max_docs, doc_len)
     sig_pick = sig_matrix[
         np.arange(num_entities)[:, None, None],
         rng.integers(0, signature_size, size=shape)]
     noise_pick = rng.choice(vocab_size, size=shape, p=zipf)
     token_ids = np.where(rng.random(shape) < signal, sig_pick, noise_pick)
     for ei, ent in enumerate(entities):
-        for di in range(docs_per_entity):
+        for di in range(n_docs[ei]):
             doc_id = f"doc-{ei:04d}-{di:03d}"
             docs[doc_id] = " ".join(terms[t] for t in token_ids[ei, di])
             doc_entities[doc_id] = [ent]
 
     # Topics: queries drawn from one entity's signature; that entity is the
-    # single relevant answer (grade 1). Topic entities cycle deterministically.
+    # top answer. Topic entities cycle deterministically. Hard mode: at
+    # least one PRIVATE term per query (the truth stays identifiable) and
+    # group siblings are graded 1 (they match the shared terms).
     topics: Dict[str, str] = {}
     qrels: Dict[str, Dict[str, int]] = {}
     for ti in range(num_topics):
         ei = ti % num_entities
-        q_terms = rng.choice(signatures[ei], size=query_len, replace=False)
+        if hard:
+            priv = signatures[ei][private_masks[ei]]
+            n_priv = min(max(1, query_len // 2), len(priv), query_len)
+            q_priv = rng.choice(priv, size=n_priv, replace=False)
+            rest_pool = signatures[ei]
+            n_rest = query_len - n_priv
+            q_rest = (rng.choice(rest_pool, size=n_rest, replace=False)
+                      if n_rest else np.empty(0, int))
+            q_terms = np.concatenate([q_priv, q_rest.astype(int)])
+            g0 = (ei // group_size) * group_size
+            group = range(g0, min(g0 + group_size, num_entities))
+            qrels_t = {entities[j]: 1 for j in group if j != ei}
+            qrels_t[entities[ei]] = 2
+        else:
+            q_terms = rng.choice(signatures[ei], size=query_len,
+                                 replace=False)
+            qrels_t = {entities[ei]: 1}
         tid = f"T{ti:03d}"
         topics[tid] = " ".join(terms[t] for t in q_terms)
-        qrels[tid] = {entities[ei]: 1}
+        qrels[tid] = qrels_t
 
     return SyntheticCollection(
         docs=docs,

@@ -10,6 +10,19 @@ plus a JSON sidecar (step, epoch, cursor, configs, vocab hash). Arrays are
 gathered to host before saving — at SERT scale (<= a few GB of embeddings)
 single-file checkpoints are the right tradeoff; sharded-per-chip
 serialization would only matter past host memory, out of scope per SURVEY.
+
+Multi-host safety (SURVEY.md section 6, failure row: "multi-host runs
+restart from latest complete checkpoint"): on a multi-controller pod,
+(1) leaves that are not fully addressable from this process are gathered
+with ``multihost_utils.process_allgather`` — a COLLECTIVE every process
+must enter; (2) only process 0 writes the files (one atomic rename, no
+cross-process path races); (3) a named barrier keys on the step so no
+process resumes training before the checkpoint is complete on disk.
+Restart procedure: relaunch all processes with the same ckpt_dir on shared
+(or process-0-local + distributed-fs) storage; every process loads the
+same ckpt via load_checkpoint and re-places it onto its mesh with
+parallel.sharding.shard_state (the train loop does this via its state
+template). Single-process runs skip all three steps.
 """
 
 from __future__ import annotations
@@ -30,16 +43,35 @@ def _is_prng_key(leaf: Any) -> bool:
             and jax.numpy.issubdtype(leaf.dtype, jax.dtypes.prng_key))
 
 
+def _to_host(leaf: Any) -> np.ndarray:
+    """Full global value of a (possibly sharded) array on THIS host.
+
+    Fully-addressable arrays (single-process, however many local devices)
+    assemble via device_get. Non-fully-addressable arrays (multi-host pod:
+    this process holds only its shards) are gathered with the
+    process_allgather COLLECTIVE — every process must call _flatten before
+    any returns, which save_checkpoint's structure guarantees."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+    return np.asarray(jax.device_get(leaf))
+
+
 def _flatten(tree: Any) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = jax.tree_util.keystr(path)
         if _is_prng_key(leaf):
             # Typed PRNG keys serialize as their uint32 key data.
-            flat[key] = np.asarray(jax.device_get(jax.random.key_data(leaf)))
+            flat[key] = _to_host(jax.random.key_data(leaf))
         else:
-            flat[key] = np.asarray(jax.device_get(leaf))
+            flat[key] = _to_host(leaf)
     return flat
+
+
+def _barrier(name: str) -> None:
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
 
 
 def _unflatten(template: Any, flat: Dict[str, np.ndarray]) -> Any:
@@ -76,10 +108,18 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
 
     ``max_to_keep > 0`` prunes the oldest checkpoints beyond that count
     (the reference kept every epoch snapshot; epoch-level keeps are cheap,
-    but step-level checkpointing wants a bound)."""
-    os.makedirs(ckpt_dir, exist_ok=True)
+    but step-level checkpointing wants a bound).
+
+    Multi-host: collective — every process must call with the same step
+    (see module docstring); only process 0 touches the filesystem, and all
+    processes return after the write-complete barrier."""
+    multi = jax.process_count() > 1
     base = os.path.join(ckpt_dir, f"ckpt-{step:08d}")
-    flat = _flatten(state)
+    flat = _flatten(state)       # collective on a pod: all processes enter
+    if multi and jax.process_index() != 0:
+        _barrier(f"ckpt-{step}")  # wait for process 0's atomic rename
+        return base + ".npz"
+    os.makedirs(ckpt_dir, exist_ok=True)
     tmp = base + ".npz.tmp"
     with open(tmp, "wb") as fh:
         np.savez(fh, **flat)
@@ -94,6 +134,8 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
             j = existing[old_step][:-len(".npz")] + ".json"
             if os.path.exists(j):
                 os.remove(j)
+    if multi:
+        _barrier(f"ckpt-{step}")  # release the other processes
     return base + ".npz"
 
 

@@ -1,0 +1,188 @@
+"""End-to-end rehearsal of the REAL-data ingestion path through the CLI.
+
+Round-1 VERDICT weakness 5: the TREC prepare path (multi-directory corpus
+tree, .gz mix, candidates file, SGML topics with <desc>, qrels) had only
+parser-level fixture tests — prepare -> train -> query -> sweep -> evaluate
+had never been driven end to end on real formats. This test builds a
+miniature W3C-style fixture tree with a planted expert-finding signal and
+drives all five subcommands through cli.main().
+"""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from sert_tpu.cli import main as cli_main
+from sert_tpu.utils.config import (DataConfig, ModelConfig, RecipeConfig,
+                                   ScoreConfig, TrainConfig, save_config)
+
+N_EXPERTS = 12
+SIG_WORDS = 3
+DOCS_PER_EXPERT = 6
+
+
+def _expert(i):
+    return {
+        "id": f"cand-{i:04d}",
+        "name": f"Firstname{i:02d} Lastname{i:02d}",
+        "email": f"user{i:02d}@example.org",
+        # signature vocabulary: planted ranking signal
+        "sig": [f"topic{i:02d}word{j}" for j in range(SIG_WORDS)],
+    }
+
+
+EXPERTS = [_expert(i) for i in range(N_EXPERTS)]
+
+
+def _doc_sgml(docno, body):
+    # W3C-style SGML: nested tags the parser must strip
+    return (f"<DOC>\n<DOCNO> {docno} </DOCNO>\n<DOCHDR>\nhttp://x/{docno}\n"
+            f"</DOCHDR>\n<BODY><p>{body}</p></BODY>\n</DOC>\n")
+
+
+def _build_fixture_tree(root):
+    """Two subdirectories, four files, one gzipped; docs mention their
+    expert by name (even docs) or e-mail (odd docs); one distractor doc
+    mentions nobody and one doc mentions TWO experts."""
+    docs_by_file = {
+        os.path.join("siteA", "lists-000.sgml"): [],
+        os.path.join("siteA", "lists-001.sgml"): [],
+        os.path.join("siteB", "www-000.trectext"): [],
+        os.path.join("siteB", "www-001.sgml.gz"): [],
+    }
+    files = sorted(docs_by_file)
+    n = 0
+    for e in EXPERTS:
+        for d in range(DOCS_PER_EXPERT):
+            mention = e["name"] if d % 2 == 0 else e["email"]
+            body = " ".join(e["sig"] * 10) + f" regards {mention}"
+            docs_by_file[files[n % len(files)]].append(
+                _doc_sgml(f"doc-{n:05d}", body))
+            n += 1
+    # distractor: no candidate mention -> no associations, silently skipped
+    docs_by_file[files[0]].append(
+        _doc_sgml("doc-nobody", "generic w3c process text " * 10))
+    # shared doc: mentions two experts -> two associations
+    docs_by_file[files[1]].append(_doc_sgml(
+        "doc-shared",
+        " ".join(EXPERTS[0]["sig"] * 5) + " " + " ".join(EXPERTS[1]["sig"] * 5)
+        + f" by {EXPERTS[0]['name']} and {EXPERTS[1]['email']}"))
+
+    for rel, docs in docs_by_file.items():
+        path = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        content = "".join(docs)
+        if path.endswith(".gz"):
+            with gzip.open(path, "wt") as fh:
+                fh.write(content)
+        else:
+            with open(path, "w") as fh:
+                fh.write(content)
+
+
+def _write_candidates(path):
+    with open(path, "w") as fh:
+        for e in EXPERTS:
+            fh.write(f"{e['id']}\t{e['name']}\t{e['email']}\n")
+
+
+def _write_topics_sgml(path):
+    """Classic TREC topic format: no closing tags, Number:/Topic: prefixes,
+    and a <desc> section the parser must tolerate (title is the query)."""
+    with open(path, "w") as fh:
+        for ti, e in enumerate(EXPERTS):
+            fh.write(f"""<top>
+<num> Number: T{ti:02d}
+<title> Topic: {' '.join(e['sig'])}
+<desc> Description:
+Find the expert responsible for {e['sig'][0]} work.
+<narr> Narrative:
+Relevant candidates work on {e['sig'][0]}.
+</top>
+""")
+
+
+def _write_qrels(path):
+    with open(path, "w") as fh:
+        for ti, e in enumerate(EXPERTS):
+            fh.write(f"T{ti:02d} 0 {e['id']} 1\n")
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("real_formats")
+    corpus = root / "corpus"
+    _build_fixture_tree(str(corpus))
+    _write_candidates(str(root / "candidates.tsv"))
+    _write_topics_sgml(str(root / "topics.sgml"))
+    _write_qrels(str(root / "qrels.trec"))
+    recipe = RecipeConfig(
+        name="w3c_mini",
+        data=DataConfig(window_size=5, vocab_min_count=1, vocab_max_size=4000),
+        model=ModelConfig(model="loglinear", word_dim=16),
+        train=TrainConfig(batch_size=128, num_epochs=3, optimizer="adam",
+                          learning_rate=5e-3, log_every_steps=50),
+        score=ScoreConfig(top_k=12),
+    )
+    save_config(recipe, str(root / "recipe.json"))
+    return root
+
+
+class TestRealFormatPipeline:
+    def test_prepare_train_query_sweep_evaluate(self, workdir, capsys):
+        root = str(workdir)
+        recipe = os.path.join(root, "recipe.json")
+        data = os.path.join(root, "data")
+        run_dir = os.path.join(root, "run")
+        run_file = os.path.join(root, "run.trec")
+
+        assert cli_main(["prepare", "--recipe", recipe, "--out", data,
+                         "--trec-docs", os.path.join(root, "corpus"),
+                         "--candidates", os.path.join(root, "candidates.tsv"),
+                         ]) == 0
+        meta = json.load(open(os.path.join(data, "instances.meta.json")))
+        assert meta["num_entities"] == N_EXPERTS
+        assert meta["num_instances"] > 0
+
+        assert cli_main(["train", "--recipe", recipe, "--data", data,
+                         "--out", run_dir]) == 0
+
+        assert cli_main(["query", "--recipe", recipe, "--data", data,
+                         "--run-dir", run_dir,
+                         "--topics", os.path.join(root, "topics.sgml"),
+                         "--out", run_file]) == 0
+        capsys.readouterr()
+
+        assert cli_main(["sweep", "--recipe", recipe, "--data", data,
+                         "--run-dir", run_dir,
+                         "--topics", os.path.join(root, "topics.sgml"),
+                         "--qrels", os.path.join(root, "qrels.trec")]) == 0
+        sweep_out = json.loads(capsys.readouterr().out)
+        assert sweep_out["best_step"] > 0
+        assert sweep_out["per_step"][str(sweep_out["best_step"])] == sweep_out["best"]
+
+        assert cli_main(["evaluate", "--run", run_file,
+                         "--qrels", os.path.join(root, "qrels.trec")]) == 0
+        results = json.loads(capsys.readouterr().out)
+        # planted signal + mention associations must be learnable end to end
+        assert results["ndcg@100"] > 0.8, results
+        assert results["recall@100"] == 1.0, results
+
+    def test_distractor_doc_contributes_nothing(self, workdir):
+        # the no-mention doc is absent from the association map
+        import json as _json
+        assoc = _json.load(open(os.path.join(str(workdir), "data",
+                                             "assoc.json")))
+        doc_ids = set(assoc["doc_to_entities"]
+                      if "doc_to_entities" in assoc else assoc)
+        assert not any("nobody" in d for d in doc_ids)
+
+    def test_shared_doc_has_two_experts(self, workdir):
+        import json as _json
+        assoc = _json.load(open(os.path.join(str(workdir), "data",
+                                             "assoc.json")))
+        mapping = (assoc["doc_to_entities"]
+                   if "doc_to_entities" in assoc else assoc)
+        assert len(mapping["doc-shared"]) == 2

@@ -123,6 +123,49 @@ class TestCheckpoint:
         with pytest.raises(ValueError):
             ckpt.load_checkpoint(p, bad_template)
 
+    def test_multihost_only_process_zero_writes(self, tmp_path, monkeypatch):
+        """Pod semantics (mocked multi-controller): non-zero processes
+        participate in the gather, hit the barrier, and return the path
+        WITHOUT touching the filesystem; process 0 writes then barriers."""
+        state = init_state(jax.random.key(0), MCFG, TCFG)
+        barriers = []
+        monkeypatch.setattr(ckpt, "_barrier", lambda name: barriers.append(name))
+
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        monkeypatch.setattr(jax, "process_index", lambda: 2)
+        p = ckpt.save_checkpoint(str(tmp_path), 7, state)
+        assert p.endswith("ckpt-00000007.npz")
+        assert not os.path.exists(p)              # non-writer: no file
+        assert barriers == ["ckpt-7"]             # waited for the writer
+
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        p0 = ckpt.save_checkpoint(str(tmp_path), 7, state)
+        assert p0 == p and os.path.exists(p0)     # writer: file + sidecar
+        assert os.path.exists(p0[:-len(".npz")] + ".json")
+        assert barriers == ["ckpt-7", "ckpt-7"]   # released the others
+
+    def test_multihost_gathers_non_addressable_leaves(self, monkeypatch):
+        """_to_host must route non-fully-addressable arrays through the
+        process_allgather collective instead of device_get (which raises
+        on a real pod)."""
+        calls = []
+
+        class FakeShardedArray(jax.Array):
+            def __init__(self):  # noqa: D401 - test double
+                pass
+
+        fake = object.__new__(FakeShardedArray)
+        from jax.experimental import multihost_utils
+        monkeypatch.setattr(
+            multihost_utils, "process_allgather",
+            lambda leaf, tiled: calls.append(tiled) or np.ones((2, 2)))
+        monkeypatch.setattr(
+            FakeShardedArray, "is_fully_addressable",
+            property(lambda self: False), raising=False)
+        out = ckpt._to_host(fake)
+        np.testing.assert_array_equal(out, np.ones((2, 2)))
+        assert calls == [True]
+
 
 class TestLoop:
     def test_train_and_resume_exact(self, tmp_path):

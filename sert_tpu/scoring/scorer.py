@@ -29,7 +29,11 @@ from sert_tpu.models import api, lse as lse_model
 from sert_tpu.models.common import compute_dtype
 from sert_tpu.utils.config import ModelConfig
 
-NEG_INF = jnp.float32(-1e30)
+# Python float, NOT jnp.float32: a module-level concrete array initializes
+# the XLA backend at import time, which breaks multi-controller programs
+# (jax.distributed.initialize must precede any backend use) and pins the
+# platform before callers can choose one. jnp ops weak-type it identically.
+NEG_INF = -1e30
 
 
 def _query_reps_and_terms(params, cfg: ModelConfig, term_ids, num_terms,

@@ -1,0 +1,76 @@
+"""Worker program for the REAL multi-controller test (test_multihost.py).
+
+Runs as N separate OS processes, each a JAX distributed process with 4
+virtual CPU devices; together they form a (2, 4) global mesh of 8 devices
+in which NO process can address every shard — the exact regime where
+round-1's checkpointing crashed by design review (device_get on
+non-fully-addressable arrays) and where the collective paths can't be
+faked by a single-process mesh.
+
+Exercises, in order:
+  1. make_sharded_train_step over the global mesh (GSPMD + the shard_map
+     fused-softmax path), 2 steps;
+  2. multi-host-safe save_checkpoint (process_allgather + process-0-only
+     write + step barrier);
+  3. loss value agreement across processes, written to a per-process JSON
+     the pytest wrapper diffs (also against a single-process run).
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    proc_id = int(sys.argv[1])
+    n_procs = int(sys.argv[2])
+    port = sys.argv[3]
+    out_dir = sys.argv[4]
+
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from sert_tpu.parallel.multihost import global_mesh, initialize_multihost
+    initialize_multihost(coordinator_address=f"localhost:{port}",
+                         num_processes=n_procs, process_id=proc_id)
+
+    import numpy as np
+    from sert_tpu.parallel.train import make_sharded_train_step
+    from sert_tpu.train import checkpoint as ckpt
+    from sert_tpu.utils.config import ModelConfig, TrainConfig
+
+    mesh = global_mesh((n_procs, jax.local_device_count()))
+
+    E, V, B = 32, 64, 16
+    cfg = ModelConfig(model="loglinear", vocab_size=V, num_entities=E,
+                      word_dim=8, fused_softmax="on")
+    tcfg = TrainConfig(batch_size=B, learning_rate=1e-2, donate_state=False,
+                       mesh_shape=(n_procs, jax.local_device_count()))
+    step, init_fn, put_fn = make_sharded_train_step(cfg, tcfg, mesh)
+    state = init_fn()
+    assert not state.params["proj_w"].is_fully_addressable, (
+        "test must run in the non-fully-addressable regime")
+
+    rng = np.random.default_rng(0)  # same batch on every process
+    losses = []
+    for i in range(2):
+        batch = put_fn({
+            "windows": rng.integers(0, V, size=(B, 5)).astype(np.int32),
+            "lengths": np.full(B, 5, np.int32),
+            "entities": rng.integers(0, E, size=B).astype(np.int32),
+        })
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+
+    path = ckpt.save_checkpoint(os.path.join(out_dir, "ckpts"), 2, state)
+
+    with open(os.path.join(out_dir, f"proc{proc_id}.json"), "w") as fh:
+        json.dump({"losses": losses, "ckpt_path": path,
+                   "ckpt_exists": os.path.exists(path),
+                   "process_count": jax.process_count()}, fh)
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--out", required=True, help="output .npz path")
     p.add_argument("--step", type=int, default=None)
 
+    p = sub.add_parser("neighbors", help="nearest neighbors of a term or "
+                                         "entity in the learned space "
+                                         "(qualitative inspection, the "
+                                         "companion papers' table workflow)")
+    _add_recipe_arg(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--term", default=None, help="query term (word space)")
+    p.add_argument("--entity", default=None,
+                   help="query entity name (entity space)")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--step", type=int, default=None)
+
     p = sub.add_parser("e2e", help="synthetic recipe end to end")
     _add_recipe_arg(p)
     p.add_argument("--workdir", required=True)
@@ -217,6 +230,41 @@ def main(argv: Optional[List[str]] = None) -> int:
             out["entity_bias"] = np.asarray(bias)
         np.savez(args.out, **out)
         print(f"wrote {', '.join(out)} to {args.out}")
+        return 0
+
+    if args.cmd == "neighbors":
+        if bool(args.term) == bool(args.entity):
+            raise SystemExit("pass exactly one of --term / --entity")
+        recipe = _load_recipe(args.recipe)
+        from sert_tpu import pipeline
+        from sert_tpu.data.instances import InstanceDataset
+        from sert_tpu.models import api as model_api
+        import numpy as np
+        ds = InstanceDataset(args.data)
+        resolved = pipeline.resolve_model_config(recipe, ds.meta)
+        params, vocab, registry = pipeline.load_scorer(
+            args.run_dir, args.data, resolved, step=args.step)
+
+        if args.term:
+            names = list(vocab.iter_terms())
+            term = args.term.lower() if resolved.data.lowercase else args.term
+            if term not in vocab:
+                raise SystemExit(f"term {args.term!r} not in the vocabulary")
+            M = np.asarray(params["word_emb"], np.float32)
+            qi = vocab.id(term)
+        else:
+            names = list(registry.names)
+            if args.entity not in names:
+                raise SystemExit(f"entity {args.entity!r} unknown")
+            M = np.asarray(model_api.entity_matrix(params, resolved.model),
+                           np.float32)
+            qi = names.index(args.entity)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-9)
+        sims = M @ M[qi]
+        sims[qi] = -np.inf  # the query itself is not its own neighbor
+        order = np.argsort(-sims)[:args.k]
+        for rank, i in enumerate(order, 1):
+            print(f"{rank}\t{names[i]}\t{sims[i]:.4f}")
         return 0
 
     if args.cmd == "e2e":

@@ -112,6 +112,8 @@ def _write_qrels(path):
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):
+    """Fixture tree + prepare + train through the CLI (shared across tests
+    so each test stays order-independent)."""
     root = tmp_path_factory.mktemp("real_formats")
     corpus = root / "corpus"
     _build_fixture_tree(str(corpus))
@@ -127,27 +129,29 @@ def workdir(tmp_path_factory):
         score=ScoreConfig(top_k=12),
     )
     save_config(recipe, str(root / "recipe.json"))
+    assert cli_main(["prepare", "--recipe", str(root / "recipe.json"),
+                     "--out", str(root / "data"),
+                     "--trec-docs", str(corpus),
+                     "--candidates", str(root / "candidates.tsv")]) == 0
+    assert cli_main(["train", "--recipe", str(root / "recipe.json"),
+                     "--data", str(root / "data"),
+                     "--out", str(root / "run")]) == 0
     return root
 
 
 class TestRealFormatPipeline:
-    def test_prepare_train_query_sweep_evaluate(self, workdir, capsys):
+    def test_prepare_meta(self, workdir):
+        meta = json.load(open(os.path.join(str(workdir), "data",
+                                           "instances.meta.json")))
+        assert meta["num_entities"] == N_EXPERTS
+        assert meta["num_instances"] > 0
+
+    def test_query_sweep_evaluate(self, workdir, capsys):
         root = str(workdir)
         recipe = os.path.join(root, "recipe.json")
         data = os.path.join(root, "data")
         run_dir = os.path.join(root, "run")
         run_file = os.path.join(root, "run.trec")
-
-        assert cli_main(["prepare", "--recipe", recipe, "--out", data,
-                         "--trec-docs", os.path.join(root, "corpus"),
-                         "--candidates", os.path.join(root, "candidates.tsv"),
-                         ]) == 0
-        meta = json.load(open(os.path.join(data, "instances.meta.json")))
-        assert meta["num_entities"] == N_EXPERTS
-        assert meta["num_instances"] > 0
-
-        assert cli_main(["train", "--recipe", recipe, "--data", data,
-                         "--out", run_dir]) == 0
 
         assert cli_main(["query", "--recipe", recipe, "--data", data,
                          "--run-dir", run_dir,
@@ -169,6 +173,52 @@ class TestRealFormatPipeline:
         # planted signal + mention associations must be learnable end to end
         assert results["ndcg@100"] > 0.8, results
         assert results["recall@100"] == 1.0, results
+
+    def test_dump_and_neighbors(self, workdir, capsys):
+        """dump exports the learned spaces; neighbors ranks a signature
+        term's co-occurring signature mates above unrelated experts' terms
+        (the companion papers' qualitative-table workflow)."""
+        import numpy as np
+        root = str(workdir)
+        recipe = os.path.join(root, "recipe.json")
+        data = os.path.join(root, "data")
+        run_dir = os.path.join(root, "run")
+        npz_path = os.path.join(root, "dump.npz")
+
+        assert cli_main(["dump", "--recipe", recipe, "--data", data,
+                         "--run-dir", run_dir, "--out", npz_path]) == 0
+        capsys.readouterr()
+        z = np.load(npz_path, allow_pickle=True)
+        assert z["entity_matrix"].shape[0] == N_EXPERTS
+        assert z["word_emb"].shape[0] == len(z["terms"])
+        assert "entity_bias" in z  # loglinear carries a per-entity bias
+
+        q = EXPERTS[3]["sig"][0]
+        assert cli_main(["neighbors", "--recipe", recipe, "--data", data,
+                         "--run-dir", run_dir, "--term", q, "-k", "8"]) == 0
+        rows = [l.split("\t") for l in
+                capsys.readouterr().out.strip().splitlines()]
+        assert len(rows) == 8 and rows[0][0] == "1"
+        ranked = [r[1] for r in rows]
+        assert q not in ranked  # never its own neighbor
+        # co-signature terms rank among the nearest neighbors (corpus-wide
+        # boilerplate tokens — URL fragments, doc numbers — co-occur too,
+        # so membership, not strict top-2, is the invariant)
+        assert set(EXPERTS[3]["sig"]) - {q} <= set(ranked)
+
+        assert cli_main(["neighbors", "--recipe", recipe, "--data", data,
+                         "--run-dir", run_dir,
+                         "--entity", EXPERTS[0]["id"], "-k", "3"]) == 0
+        ent_rows = capsys.readouterr().out.strip().splitlines()
+        assert len(ent_rows) == 3
+        assert all(r.split("\t")[1].startswith("cand-") for r in ent_rows)
+
+        with pytest.raises(SystemExit):
+            cli_main(["neighbors", "--recipe", recipe, "--data", data,
+                      "--run-dir", run_dir, "--term", "zzz-not-a-term"])
+        with pytest.raises(SystemExit):
+            cli_main(["neighbors", "--recipe", recipe, "--data", data,
+                      "--run-dir", run_dir])  # neither --term nor --entity
 
     def test_distractor_doc_contributes_nothing(self, workdir):
         # the no-mention doc is absent from the association map

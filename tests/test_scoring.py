@@ -204,3 +204,20 @@ class TestRunGlue:
             np.testing.assert_allclose([s for _, s in run_d[qid]],
                                        [s for _, s in run_c[qid]],
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestLLNormalizer:
+    def test_fused_equals_scan(self):
+        """The Pallas-partials normalizer (round 2: reuses the flash-xent
+        forward) must equal the XLA chunked scan — both exact per-term
+        logsumexp over all entities."""
+        from sert_tpu.scoring.scorer import ll_log_normalizer
+        params = api.init_params(jax.random.key(11), CFG_LL)
+        rng = np.random.default_rng(11)
+        tids = jnp.asarray(rng.integers(0, CFG_LL.vocab_size,
+                                        size=(6, 4)).astype(np.int32))
+        nt = jnp.asarray(rng.integers(1, 5, size=6).astype(np.int32))
+        scan = ll_log_normalizer(params, CFG_LL, tids, nt, engine="scan")
+        fused = ll_log_normalizer(params, CFG_LL, tids, nt, engine="fused")
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(scan),
+                                   rtol=1e-5, atol=1e-5)

@@ -57,18 +57,22 @@ def score_topics(
     entity_names: Sequence[str],
     score_cfg: Optional[ScoreConfig] = None,
     max_terms: int = 16,
+    prep=None,
 ) -> Dict[str, List[Tuple[str, float]]]:
     """Score every topic against every entity; returns a TREC run dict
-    {qid: [(entity_name, score), ...]} with top-k entries per topic."""
+    {qid: [(entity_name, score), ...]} with top-k entries per topic.
+
+    ``prep``: pre-staged entities (ops.exact_topk.prepare_entities) for the
+    pallas engine — pass it when calling repeatedly (the serve CLI does) so
+    the matrix is cast/padded once, not per call."""
     sc = score_cfg or ScoreConfig()
     qids, term_ids, num_terms = pad_queries(encoded_topics, max_terms)
     E = len(entity_names)
     run: Dict[str, List[Tuple[str, float]]] = {qid: [] for qid in qids}
 
     engine = resolve_engine(sc, E)
-    prep = None
     mesh = None
-    if engine == "pallas":
+    if engine == "pallas" and prep is None:
         from sert_tpu.ops.exact_topk import prepare_entities
         prep = prepare_entities(_entity_matrix(params, cfg, sc.similarity))
     elif engine == "distributed":

@@ -220,6 +220,32 @@ class TestRealFormatPipeline:
             cli_main(["neighbors", "--recipe", recipe, "--data", data,
                       "--run-dir", run_dir])  # neither --term nor --entity
 
+    def test_serve_streams_ranked_entities(self, workdir, capsys,
+                                            monkeypatch):
+        """The serve loop: stdin queries -> ranked entities, matrix staged
+        once; OOV queries degrade gracefully; empty line exits."""
+        import io
+        root = str(workdir)
+        q = " ".join(EXPERTS[5]["sig"])
+        monkeypatch.setattr("sys.stdin", io.StringIO(
+            f"topicA\t{q}\n"            # qid<TAB>text form
+            f"{EXPERTS[2]['sig'][0]}\n"  # bare text form
+            "zzz-not-in-vocab qqq\n"     # all-OOV
+            "\n"                         # exit
+            f"never\t{q}\n"))            # after exit: must not be scored
+        assert cli_main(["serve", "--recipe", os.path.join(root, "recipe.json"),
+                         "--data", os.path.join(root, "data"),
+                         "--run-dir", os.path.join(root, "run"),
+                         "-k", "3"]) == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        a = [l.split("\t") for l in out if l.startswith("topicA\t")]
+        assert len(a) == 3 and a[0][2] == EXPERTS[5]["id"]
+        b = [l.split("\t") for l in out if l.startswith("q1\t")]
+        assert len(b) == 3 and b[0][2] == EXPERTS[2]["id"]
+        oov = [l for l in out if "out of vocabulary" in l]
+        assert len(oov) == 1 and oov[0].startswith("q2\t")
+        assert not any(l.startswith("never") for l in out)
+
     def test_distractor_doc_contributes_nothing(self, workdir):
         # the no-mention doc is absent from the association map
         import json as _json

@@ -75,6 +75,15 @@ def make_sharded_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
 
     def put_fn(batch):
         import jax.numpy as jnp
+        dp = mesh.shape["data"]
+        bdim = 1 if train_cfg.steps_per_call > 1 else 0
+        n = next(iter(batch.values())).shape[bdim]
+        if n % dp:
+            raise ValueError(
+                f"batch size {n} must divide the data mesh axis ({dp}); "
+                f"set TrainConfig.batch_size to a multiple of "
+                f"mesh_shape[0] (the feeder emits mesh-divisible batches "
+                f"when configured so)")
         return {k: jax.device_put(jnp.asarray(v), batch_sh[k])
                 for k, v in batch.items()}
 

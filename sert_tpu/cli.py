@@ -75,6 +75,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="print per-topic rows, not just the macro average")
     p.add_argument("--judged-only", action="store_true",
                    help="drop unjudged documents before scoring (trec_eval -J)")
+    p.add_argument("--compare", default=None, metavar="RUN_B",
+                   help="second run file: report paired significance "
+                        "(randomization + t-test) of run vs RUN_B per "
+                        "measure instead of plain metrics")
 
     p = sub.add_parser("sweep", help="evaluate EVERY epoch checkpoint and "
                                      "report the best (reference workflow: "
@@ -209,6 +213,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         measures = tuple(args.measures) if args.measures else DEFAULT_MEASURES
         results = evaluate_run(run, qrels, measures,
                                judged_only=args.judged_only)
+        if args.compare:
+            from sert_tpu.eval.significance import compare_runs
+            run_b = read_run(args.compare)
+            results_b = evaluate_run(run_b, qrels, measures,
+                                     judged_only=args.judged_only)
+            report = compare_runs(results, results_b, measures)
+            print(json.dumps(report, indent=2, sort_keys=True))
+            return 0
         out = results if args.per_topic else results["all"]
         print(json.dumps(out, indent=2, sort_keys=True))
         return 0

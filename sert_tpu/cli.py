@@ -57,6 +57,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--data", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--init-word-emb", default=None, metavar="DUMP_NPZ",
+                   help="seed word embeddings from a dump npz (terms matched "
+                        "by string; fresh init for terms not in the dump)")
 
     p = sub.add_parser("query", help="score topics into a TREC run file")
     _add_recipe_arg(p)
@@ -175,7 +178,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         recipe = _load_recipe(args.recipe)
         from sert_tpu import pipeline
         pipeline.train_from_dir(recipe, args.data, args.out,
-                                resume=not args.no_resume)
+                                resume=not args.no_resume,
+                                init_word_emb=args.init_word_emb)
         return 0
 
     if args.cmd == "query":

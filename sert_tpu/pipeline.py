@@ -51,8 +51,33 @@ def resolve_model_config(recipe: RecipeConfig, meta: Mapping) -> RecipeConfig:
                         train=recipe.train, score=recipe.score)
 
 
+def load_pretrained_word_emb(npz_path: str, vocab: Vocabulary,
+                             base_emb: np.ndarray):
+    """Overwrite rows of ``base_emb`` with vectors from a dump-format npz
+    (``word_emb`` + ``terms`` arrays, as written by the dump CLI). Terms are
+    matched by string; vocabulary terms absent from the dump keep their
+    fresh initialization. Returns (embeddings, matched_count)."""
+    z = np.load(npz_path, allow_pickle=True)
+    if "word_emb" not in z or "terms" not in z:
+        raise ValueError(f"{npz_path} is not a dump npz (needs word_emb + terms)")
+    emb = np.asarray(z["word_emb"], np.float32)
+    if emb.shape[1] != base_emb.shape[1]:
+        raise ValueError(
+            f"pretrained word_dim {emb.shape[1]} != model word_dim "
+            f"{base_emb.shape[1]}")
+    out = np.asarray(base_emb, np.float32).copy()
+    hits = 0
+    for i, t in enumerate(z["terms"]):
+        t = str(t)
+        if t in vocab:
+            out[vocab.id(t)] = emb[i]
+            hits += 1
+    return out, hits
+
+
 def train_from_dir(recipe: RecipeConfig, data_dir: str, out_dir: str,
-                   resume: bool = True, **loop_kwargs):
+                   resume: bool = True, init_word_emb: Optional[str] = None,
+                   **loop_kwargs):
     dataset = InstanceDataset(data_dir, seed=recipe.train.seed)
     recipe = resolve_model_config(recipe, dataset.meta)
     assoc = Associations.load(os.path.join(data_dir, ASSOC_NAME))
@@ -60,6 +85,17 @@ def train_from_dir(recipe: RecipeConfig, data_dir: str, out_dir: str,
         assoc.entity_instance_counts(recipe.model.num_entities), np.float64)
     os.makedirs(out_dir, exist_ok=True)
     save_config(recipe, os.path.join(out_dir, "recipe.json"))
+    if init_word_emb:
+        vocab = Vocabulary.load(os.path.join(data_dir, VOCAB_NAME))
+
+        def hook(params):
+            we, hits = load_pretrained_word_emb(init_word_emb, vocab,
+                                                params["word_emb"])
+            log.info("init: seeded %d/%d word embeddings from %s",
+                     hits, we.shape[0], init_word_emb)
+            return {**params, "word_emb": we}
+
+        loop_kwargs = {**loop_kwargs, "init_params_hook": hook}
     state = train_loop(recipe, dataset, out_dir, entity_counts=counts,
                        resume=resume, **loop_kwargs)
     return state, recipe

@@ -38,11 +38,18 @@ def train(
     train_step=None,
     init_fn: Optional[Callable[[], TrainState]] = None,
     deterministic_feed: bool = False,
+    init_params_hook: Optional[Callable] = None,
 ) -> TrainState:
     """Run (or resume) training; returns the final TrainState.
 
     ``put_fn`` / ``train_step`` / ``init_fn`` hooks let parallel/ inject the
     mesh-sharded variants without changing this loop.
+
+    ``init_params_hook(host_params) -> host_params`` transforms the FRESH
+    initialization (e.g. seeding word embeddings from a dump, see
+    pipeline.train_from_dir); it is skipped on resume and composes with the
+    mesh path (transformed params are re-placed with the template's
+    shardings).
     """
     mcfg, tcfg = recipe.model, recipe.train
     os.makedirs(out_dir, exist_ok=True)
@@ -82,6 +89,13 @@ def train(
     state_template = state
     start_epoch, cursor = 0, None
     latest = ckpt.latest_checkpoint(ckpt_dir) if resume else None
+    if init_params_hook is not None and latest is None:
+        new_params = init_params_hook(jax.device_get(state.params))
+        new_params = jax.tree.map(
+            lambda t, x: (jax.device_put(np.asarray(x), t.sharding)
+                          if hasattr(t, "sharding") else np.asarray(x)),
+            state.params, new_params)
+        state = state._replace(params=new_params)
     if latest is not None:
         state, meta = ckpt.load_checkpoint(latest, state)
         # Restore the mesh placement the init template had (checkpoints are

@@ -220,6 +220,41 @@ class TestRealFormatPipeline:
             cli_main(["neighbors", "--recipe", recipe, "--data", data,
                       "--run-dir", run_dir])  # neither --term nor --entity
 
+    def test_init_word_emb_seeds_from_dump(self, workdir, tmp_path):
+        """train --init-word-emb: a dump from run A seeds run B's word
+        embeddings exactly for shared terms (tested at num_epochs=0 so the
+        init is observable), and dim mismatches are rejected."""
+        import numpy as np
+        import dataclasses as dc
+        from sert_tpu.pipeline import train_from_dir, load_pretrained_word_emb
+        from sert_tpu.utils.config import load_recipe
+        root = str(workdir)
+        recipe_path = os.path.join(root, "recipe.json")
+        data = os.path.join(root, "data")
+        npz_path = os.path.join(root, "dump2.npz")
+        assert cli_main(["dump", "--recipe", recipe_path, "--data", data,
+                         "--run-dir", os.path.join(root, "run"),
+                         "--out", npz_path]) == 0
+
+        recipe = load_recipe(recipe_path)
+        recipe = dc.replace(recipe, train=dc.replace(recipe.train,
+                                                     num_epochs=0, seed=7))
+        state, _ = train_from_dir(recipe, data, str(tmp_path / "runB"),
+                                  init_word_emb=npz_path)
+        z = np.load(npz_path, allow_pickle=True)
+        got = np.asarray(state.params["word_emb"])
+        # every dumped term's vector carried over verbatim
+        from sert_tpu.data.vocab import Vocabulary
+        vocab = Vocabulary.load(os.path.join(data, "vocab.json"))
+        for i, t in enumerate(z["terms"][:20]):
+            np.testing.assert_array_equal(got[vocab.id(str(t))],
+                                          np.asarray(z["word_emb"][i]))
+
+        bad = np.asarray(z["word_emb"])[:, :8]
+        np.savez(str(tmp_path / "bad.npz"), word_emb=bad, terms=z["terms"])
+        with pytest.raises(ValueError, match="word_dim"):
+            load_pretrained_word_emb(str(tmp_path / "bad.npz"), vocab, got)
+
     def test_serve_streams_ranked_entities(self, workdir, capsys,
                                             monkeypatch):
         """The serve loop: stdin queries -> ranked entities, matrix staged

@@ -281,6 +281,71 @@ class TestRealFormatPipeline:
         assert len(oov) == 1 and oov[0].startswith("q2\t")
         assert not any(l.startswith("never") for l in out)
 
+    def test_amazon_reviews_pipeline(self, tmp_path, capsys):
+        """The SECOND real-format family: Amazon review JSON-lines (.gz mix)
+        through prepare -> train (LSE) -> query -> evaluate. Products are
+        entities; reviews carry a planted per-product vocabulary. Includes
+        malformed lines and objects without asin (skipped silently)."""
+        import dataclasses as dc
+        import gzip
+        import json as _json
+        import numpy as np
+        n_products = 10
+        prods = [{"asin": f"B000{i:04d}",
+                  "sig": [f"prodword{i:02d}x{j}" for j in range(3)]}
+                 for i in range(n_products)]
+        lines_a, lines_b = [], []
+        for i, p in enumerate(prods):
+            for r in range(6):
+                doc = {"asin": p["asin"],
+                       "summary": " ".join(p["sig"] * 2),
+                       "reviewText": " ".join(p["sig"] * 6) + " great product"}
+                (lines_a if (i + r) % 2 else lines_b).append(_json.dumps(doc))
+        lines_a.insert(2, "{not json at all")          # malformed: skipped
+        lines_a.insert(4, _json.dumps({"reviewText": "no asin here"}))
+        (tmp_path / "reviews_a.json").write_text("\n".join(lines_a) + "\n")
+        with gzip.open(tmp_path / "reviews_b.json.gz", "wt") as fh:
+            fh.write("\n".join(lines_b) + "\n")
+
+        recipe = RecipeConfig(
+            name="amazon_mini",
+            data=DataConfig(window_size=5, vocab_min_count=1,
+                            vocab_max_size=2000),
+            model=ModelConfig(model="lse", word_dim=16, entity_dim=16,
+                              num_negatives=4,
+                              negative_distribution="unigram"),
+            train=TrainConfig(batch_size=128, num_epochs=8, optimizer="adam",
+                              learning_rate=5e-3, log_every_steps=50),
+            score=ScoreConfig(top_k=5, similarity="cosine"),
+        )
+        rp = tmp_path / "recipe.json"
+        save_config(recipe, str(rp))
+        data, run_dir = str(tmp_path / "data"), str(tmp_path / "run")
+        assert cli_main(["prepare", "--recipe", str(rp), "--out", data,
+                         "--amazon-reviews", str(tmp_path / "reviews_a.json"),
+                         str(tmp_path / "reviews_b.json.gz")]) == 0
+        meta = json.load(open(os.path.join(data, "instances.meta.json")))
+        assert meta["num_entities"] == n_products
+
+        assert cli_main(["train", "--recipe", str(rp), "--data", data,
+                         "--out", run_dir]) == 0
+
+        topics = tmp_path / "topics.tsv"
+        topics.write_text("".join(
+            f"T{i:02d}\t{' '.join(p['sig'])}\n" for i, p in enumerate(prods)))
+        qrels = tmp_path / "qrels.trec"
+        qrels.write_text("".join(
+            f"T{i:02d} 0 {p['asin']} 1\n" for i, p in enumerate(prods)))
+        run_file = str(tmp_path / "run.trec")
+        assert cli_main(["query", "--recipe", str(rp), "--data", data,
+                         "--run-dir", run_dir, "--topics", str(topics),
+                         "--out", run_file]) == 0
+        capsys.readouterr()
+        assert cli_main(["evaluate", "--run", run_file,
+                         "--qrels", str(qrels)]) == 0
+        res = json.loads(capsys.readouterr().out)
+        assert res["recip_rank"] > 0.8, res
+
     def test_distractor_doc_contributes_nothing(self, workdir):
         # the no-mention doc is absent from the association map
         import json as _json

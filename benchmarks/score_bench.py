@@ -105,35 +105,45 @@ def measure_train_steps_per_sec(
     dim: int = 128,
     batch_size: int = 1024,
     window: int = 8,
-    iters: int = 20,
+    iters: int = 8,
+    steps_per_call: int = 16,
     model: str = "loglinear",
+    optimizer: str = "adam",
+    compute_dtype: str = "float32",
     seed: int = 0,
 ) -> Dict[str, float]:
+    """Honest steps/s: micro-steps scanned inside one compiled call
+    (TrainConfig.steps_per_call, the shipped-recipe configuration) and a
+    host scalar fetch as the fence — block_until_ready does NOT wait on the
+    tunneled platform (NOTES.md)."""
     import jax
     from sert_tpu.train.step import init_state, make_train_step
     from sert_tpu.utils.config import ModelConfig, TrainConfig
 
     cfg = ModelConfig(model=model, vocab_size=vocab, num_entities=num_entities,
-                      word_dim=dim, entity_dim=dim)
+                      word_dim=dim, entity_dim=dim,
+                      compute_dtype=compute_dtype)
     tcfg = TrainConfig(batch_size=batch_size, learning_rate=1e-3,
-                       donate_state=True)
+                       donate_state=True, optimizer=optimizer,
+                       steps_per_call=steps_per_call)
     state = init_state(jax.random.key(seed), cfg, tcfg)
     step = make_train_step(cfg, tcfg)
     rng = np.random.default_rng(seed)
+    lead = (steps_per_call,) if steps_per_call > 1 else ()
     batch = {
-        "windows": rng.integers(0, vocab, size=(batch_size, window)).astype(np.int32),
-        "lengths": np.full(batch_size, window, np.int32),
-        "entities": rng.integers(0, num_entities, size=batch_size).astype(np.int32),
+        "windows": rng.integers(0, vocab, size=lead + (batch_size, window)).astype(np.int32),
+        "lengths": np.full(lead + (batch_size,), window, np.int32),
+        "entities": rng.integers(0, num_entities, size=lead + (batch_size,)).astype(np.int32),
     }
     batch = {k_: jax.device_put(v) for k_, v in batch.items()}
 
     state, m = step(state, batch)  # compile
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])               # host fetch = the only real fence here
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch)
-    jax.block_until_ready(m["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / (iters * max(steps_per_call, 1))
     return {
         "steps_per_sec": 1.0 / dt,
         "instances_per_sec": batch_size / dt,

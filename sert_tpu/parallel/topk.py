@@ -227,7 +227,7 @@ def distributed_topk(params, cfg: ModelConfig, term_ids: jax.Array,
                      num_terms: jax.Array, mesh: Mesh, k: int = 100,
                      chunk: int = 32768, similarity: str = "dot",
                      merge: str = "allgather",
-                     local_engine: str = "binmax",
+                     local_engine: str = "auto",
                      prep=None
                      ) -> Tuple[jax.Array, jax.Array]:
     """Global top-k over an entity matrix sharded on mesh axis ``model``.
@@ -236,12 +236,15 @@ def distributed_topk(params, cfg: ModelConfig, term_ids: jax.Array,
     data-row. Entity count must divide evenly by the model-axis size (pad
     the entity matrix upstream if not — recipes do).
 
-    ``local_engine``: "pallas" (the fused binmax + gather/rescore kernels
-    per shard — the single-chip fast path, SURVEY.md section 4.3), "binmax"
-    (default — same exact prefilter algorithm in partitionable XLA,
-    O(Q * E/n_shards) transient) or "scan" (fixed-memory chunked sweep with
-    per-chunk top-k merges).
+    ``local_engine``: "auto" (pallas on TPU, binmax elsewhere), "pallas"
+    (the fused binmax + gather/rescore kernels per shard — the single-chip
+    fast path, SURVEY.md section 4.3), "binmax" (same exact prefilter
+    algorithm in partitionable XLA, O(Q * E/n_shards) transient) or "scan"
+    (fixed-memory chunked sweep with per-chunk top-k merges).
     """
+    if local_engine == "auto":
+        local_engine = ("pallas" if jax.default_backend() == "tpu"
+                        else "binmax")
     E = api.entity_matrix(params, cfg).shape[0]
     k = min(k, E)
     n_model = mesh.shape["model"]

@@ -82,7 +82,11 @@ def score_topics(
         # place params on the mesh once (entity axis over "model")
         sh = state_shardings(params, mesh, cfg)
         params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, sh)
-        if sc.local_engine == "pallas":
+        local_engine = sc.local_engine
+        if local_engine == "auto":
+            local_engine = ("pallas" if jax.default_backend() == "tpu"
+                            else "binmax")
+        if local_engine == "pallas":
             from sert_tpu.parallel.topk import prepare_distributed
             prep = prepare_distributed(params, cfg, mesh,
                                        similarity=sc.similarity)
@@ -114,7 +118,7 @@ def score_topics(
             return distributed_topk(params, cfg, t, m, mesh, k=k,
                                     chunk=min(sc.entity_chunk, E),
                                     similarity=sc.similarity, merge=sc.merge,
-                                    local_engine=sc.local_engine, prep=prep)
+                                    local_engine=local_engine, prep=prep)
         return streaming_topk(params, cfg, t, m, k=k, chunk=sc.entity_chunk,
                               similarity=sc.similarity)
 

@@ -97,12 +97,14 @@ class ScoreConfig:
     normalize_scores: bool = True
     use_pallas: bool = False         # legacy alias for engine="pallas"
     # distributed engine: mesh axes, merge strategy, and per-shard engine.
-    # local_engine "binmax" is fastest but holds an O(Q * E/n_shards)
-    # transient per device; "scan" is fixed-memory (chunk rows at a time) —
-    # pick it when E/n_shards * query_batch * 4 bytes approaches HBM.
+    # local_engine "auto" = the fused Pallas kernels on TPU (the single-chip
+    # fast path per shard) else "binmax" (same algorithm in partitionable
+    # XLA, O(Q * E/n_shards) transient); "scan" is fixed-memory (chunk rows
+    # at a time) — pick it when E/n_shards * query_batch * 4 bytes
+    # approaches HBM.
     mesh_shape: Tuple[int, int] = (1, -1)   # (data, model); -1 = all devices
     merge: str = "allgather"                # "allgather" | "ring"
-    local_engine: str = "binmax"            # "binmax" | "scan"
+    local_engine: str = "auto"              # auto | pallas | binmax | scan
 
 
 @dataclass(frozen=True)

@@ -29,4 +29,4 @@ Layer map (mirrors SURVEY.md section 2):
   native/    C++ host-side feeder acceleration (tokenize/window sweep)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

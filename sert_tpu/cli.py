@@ -35,6 +35,9 @@ def _load_recipe(spec: str):
 
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(prog="sert_tpu")
+    from sert_tpu import __version__
+    ap.add_argument("--version", action="version",
+                    version=f"sert-tpu {__version__}")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("list", help="list named recipes")
@@ -143,7 +146,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         recipe = _load_recipe(args.recipe)
         from sert_tpu import pipeline, recipes
         if args.synthetic or not (args.trec_docs or args.amazon_reviews):
-            spec = recipes.SYNTH_SPECS.get(recipe.name) or recipes.tiny_spec()
+            spec = recipes.SYNTH_SPECS.get(recipe.name)
+            if spec is None:
+                print(f"note: no synthetic stand-in registered for "
+                      f"recipe {recipe.name!r}; using the tiny demo "
+                      f"collection", file=sys.stderr)
+                spec = recipes.tiny_spec()
             col = spec.build()
             pipeline.prepare_collection(col, args.out, recipe)
             # Persist topics/qrels so query/evaluate can run offline.
@@ -351,7 +359,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             raise SystemExit(
                 "synthetic_10m_scoring is a scoring-only benchmark recipe; "
                 "run `python benchmarks/sharded_bench.py` instead")
-        spec = recipes.SYNTH_SPECS.get(recipe.name) or recipes.tiny_spec()
+        spec = recipes.SYNTH_SPECS.get(recipe.name)
+        if spec is None:
+            print(f"note: no synthetic stand-in registered for recipe "
+                  f"{recipe.name!r}; using the tiny demo collection",
+                  file=sys.stderr)
+            spec = recipes.tiny_spec()
         col = spec.build()
         results = pipeline.run_end_to_end(col, recipe, args.workdir)
         print(json.dumps(results["all"], indent=2, sort_keys=True))

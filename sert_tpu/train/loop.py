@@ -118,13 +118,32 @@ def train(
 
     jlog = JsonlLogger(os.path.join(out_dir, "train_log.jsonl"))
     n_micro = max(tcfg.steps_per_call, 1)
+    # Guard against silently training nothing: an epoch yields
+    # num_instances // batch_size full batches, and _group_batches drops
+    # incomplete micro-step groups, so a steps_per_call larger than the
+    # epoch's batch count would drop EVERY batch of EVERY epoch.
+    n_batches = dataset.num_instances // tcfg.batch_size
+    if n_batches == 0:
+        raise ValueError(
+            f"dataset has {dataset.num_instances} instances, fewer than one "
+            f"batch of train.batch_size={tcfg.batch_size}; every epoch would "
+            "train 0 steps — lower train.batch_size")
+    if n_micro > n_batches:
+        log.warning(
+            "steps_per_call=%d exceeds the %d full batches per epoch; "
+            "clamping to %d so epochs are not dropped entirely",
+            n_micro, n_batches, n_batches)
+        n_micro = n_batches
+    # The scanned step (steps_per_call > 1) expects a stacked leading
+    # micro-step axis even when the clamped group size is 1.
+    stack_groups = tcfg.steps_per_call > 1
     feeders = []
     try:
         for epoch in range(start_epoch, tcfg.num_epochs):
             epoch_cursor = cursor if epoch == start_epoch else None
             batches = dataset.iter_batches(tcfg.batch_size, epoch=epoch,
                                            start_cursor=epoch_cursor)
-            batches = _group_batches(batches, n_micro)
+            batches = _group_batches(batches, n_micro, stack=stack_groups)
             feeder = PrefetchFeeder(batches, put_fn=_batch_put(put_fn),
                                     deterministic=deterministic_feed)
             feeders.append(feeder)  # closed in the finally below
@@ -175,11 +194,16 @@ def train(
     return state
 
 
-def _group_batches(it, n: int):
+def _group_batches(it, n: int, stack: bool = None):
     """Group n (batch, cursor) pairs into (stacked batch [n, ...], cursor of
     the LAST group member). Incomplete tail groups are dropped (static
-    shapes). n=1 passes through untouched."""
-    if n <= 1:
+    shapes; the caller clamps n to the epoch's batch count so a whole epoch
+    is never dropped). With ``stack`` (defaults to n > 1) batches get the
+    leading micro-step axis even at n=1 — the scanned step still expects
+    it when steps_per_call > 1 was merely clamped down."""
+    if stack is None:
+        stack = n > 1
+    if n <= 1 and not stack:
         yield from it
         return
     buf = []

@@ -38,6 +38,19 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         opt = optax.adagrad(cfg.learning_rate)
     elif cfg.optimizer == "sgd":
         opt = optax.sgd(cfg.learning_rate)
+    elif cfg.optimizer == "adafactor":
+        # TPU-native large-E option beyond the reference's adam/adagrad menu:
+        # the second moment of the [d, E] matrices is stored FACTORED
+        # (row [d] + col [E] instead of dense [d, E]), so optimizer-state
+        # HBM traffic per step is O(d + E) instead of O(d * E) — measured
+        # ~2 ms/step cheaper than adam at E=500k (benchmarks/NOTES.md).
+        # Momentum stays off (adafactor default) to keep state O(d + E).
+        opt = optax.adafactor(cfg.learning_rate,
+                              # SERT-style fixed lr semantics: disable the
+                              # relative-scale/update-clipping extras so lr
+                              # sweeps behave like the other optimizers.
+                              multiply_by_parameter_scale=False,
+                              clipping_threshold=None)
     else:
         raise ValueError(f"unknown optimizer: {cfg.optimizer!r}")
     chain = []

@@ -60,7 +60,7 @@ class ModelConfig:
 class TrainConfig:
     batch_size: int = 1024
     num_epochs: int = 5
-    optimizer: str = "adam"         # "adam" | "adagrad" | "sgd"
+    optimizer: str = "adam"         # "adam" | "adagrad" | "sgd" | "adafactor"
     learning_rate: float = 1e-3
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0     # 0 disables clipping

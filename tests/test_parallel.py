@@ -102,6 +102,32 @@ class TestShardedTraining:
         assert float(metrics["loss"]) == pytest.approx(
             float(ref_metrics["loss"]), rel=2e-4)
 
+    def test_sharded_adafactor_matches_single_device(self):
+        """The factored optimizer's [E] column statistic shards over the
+        model axis by the shape rule; 5 sharded steps must match 1 device."""
+        import dataclasses
+        tcfg = dataclasses.replace(TCFG, optimizer="adafactor")
+        rng = np.random.default_rng(3)
+        batches = [_batch(rng) for _ in range(5)]
+
+        ref_state = init_state(jax.random.key(tcfg.seed), CFG_LL, tcfg)
+        ref_step = make_train_step(CFG_LL, tcfg)
+        for b in batches:
+            ref_state, _ = ref_step(ref_state, b)
+
+        mesh = make_mesh((2, 4))
+        step, init_fn, put_fn = make_sharded_train_step(CFG_LL, tcfg, mesh,
+                                                        None)
+        state = init_fn()
+        for b in batches:
+            state, _ = step(state, put_fn(b))
+
+        for key in ref_state.params:
+            np.testing.assert_allclose(
+                np.asarray(jax.device_get(state.params[key])),
+                np.asarray(ref_state.params[key]), rtol=2e-4, atol=2e-5,
+                err_msg=key)
+
     def test_data_only_mesh(self):
         mesh = make_mesh((8, 1))
         step, init_fn, put_fn = make_sharded_train_step(CFG_LL, TCFG, mesh)

@@ -56,7 +56,7 @@ class TestStep:
         assert int(state.step) == 30
 
     def test_optimizers(self):
-        for name in ("adam", "adagrad", "sgd"):
+        for name in ("adam", "adagrad", "sgd", "adafactor"):
             opt = make_optimizer(TrainConfig(optimizer=name))
             params = {"w": jnp.ones((3,))}
             s = opt.init(params)
@@ -289,6 +289,44 @@ class TestLoop:
         for key in full.params:
             np.testing.assert_array_equal(np.asarray(full.params[key]),
                                           np.asarray(resumed.params[key]))
+
+    def test_steps_per_call_clamped_to_epoch_batches(self, tmp_path,
+                                                     monkeypatch):
+        """A steps_per_call larger than the epoch's batch count must clamp
+        (with a warning) instead of silently dropping every batch of every
+        epoch — the regression that made small-collection recipes train 0
+        steps (the epoch has ~a dozen batches; steps_per_call=1000 would
+        drop them all as one incomplete tail group)."""
+        import dataclasses
+        from sert_tpu.train import loop as loop_mod
+        ds, _ = _prepared_dataset(tmp_path)
+        n_batches = ds.num_batches_per_epoch(TCFG.batch_size)
+        tcfg = dataclasses.replace(TCFG, steps_per_call=n_batches + 1000)
+        recipe = RecipeConfig(name="c", model=MCFG, train=tcfg)
+        warnings = []
+        monkeypatch.setattr(loop_mod.log, "warning",
+                            lambda msg, *a: warnings.append(msg % a))
+        state = train(recipe, ds, str(tmp_path / "run"),
+                      deterministic_feed=True)
+        assert int(state.step) == n_batches * tcfg.num_epochs
+        assert any("clamping" in w for w in warnings)
+
+        # Clamped run == unclamped run with the same per-epoch coverage.
+        ref = train(RecipeConfig(
+            name="c2", model=MCFG,
+            train=dataclasses.replace(TCFG, steps_per_call=n_batches)),
+            ds, str(tmp_path / "ref"), deterministic_feed=True)
+        for key in ref.params:
+            np.testing.assert_array_equal(np.asarray(ref.params[key]),
+                                          np.asarray(state.params[key]))
+
+    def test_batch_size_larger_than_dataset_rejected(self, tmp_path):
+        import dataclasses
+        ds, _ = _prepared_dataset(tmp_path)
+        tcfg = dataclasses.replace(TCFG, batch_size=ds.num_instances + 1)
+        recipe = RecipeConfig(name="z", model=MCFG, train=tcfg)
+        with pytest.raises(ValueError, match="train 0 steps"):
+            train(recipe, ds, str(tmp_path / "run"))
 
     def test_epoch_snapshots_written(self, tmp_path):
         ds, _ = _prepared_dataset(tmp_path)

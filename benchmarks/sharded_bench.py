@@ -25,7 +25,7 @@ def measure_10m(
     num_queries: int = 256,
     k: int = 1000,
     iters: int = 3,
-    sweeps_per_iter: int = 5,
+    sweeps_per_iter: int = 10,  # ~2.4 ms/sweep of amortized tunnel RTT
     seed: int = 0,
 ) -> Dict[str, float]:
     import jax

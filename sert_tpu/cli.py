@@ -116,6 +116,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--batch", type=int, default=16,
                    help="queries scored per device dispatch")
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve a JSON HTTP API (GET /healthz, GET|POST "
+                        "/search) instead of the stdin loop")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address for --http (default loopback)")
 
     p = sub.add_parser("neighbors", help="nearest neighbors of a term or "
                                          "entity in the learned space "
@@ -272,49 +277,28 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.cmd == "serve":
         recipe = _load_recipe(args.recipe)
-        import dataclasses
-        from sert_tpu import pipeline
-        from sert_tpu.data.instances import InstanceDataset
-        from sert_tpu.data.prepare import encode_queries
-        from sert_tpu.scoring.run import resolve_engine, score_topics
-        from sert_tpu.scoring.scorer import _entity_matrix
-        ds = InstanceDataset(args.data)
-        resolved = pipeline.resolve_model_config(recipe, ds.meta)
-        params, vocab, registry = pipeline.load_scorer(
-            args.run_dir, args.data, resolved, step=args.step)
-        sc = dataclasses.replace(resolved.score, top_k=args.k,
-                                 query_batch=args.batch)
-        prep = None
-        if resolve_engine(sc, len(registry.names)) == "pallas":
-            from sert_tpu.ops.exact_topk import prepare_entities
-            prep = prepare_entities(
-                _entity_matrix(params, resolved.model, sc.similarity))
-        # Warm-up dispatch so the first real query is not a compile stall.
-        score_topics(params, resolved.model,
-                     {"_warmup": vocab.encode(["warmup"])},
-                     registry.names, sc, prep=prep)
+        from sert_tpu.serving import (EntitySearcher, make_http_server,
+                                      serve_stdin)
+        searcher = EntitySearcher(recipe, args.data, args.run_dir,
+                                  step=args.step, k=args.k,
+                                  query_batch=args.batch)
+        if args.http is not None:
+            server = make_http_server(searcher, host=args.host,
+                                      port=args.http)
+            host, port = server.server_address[:2]
+            print(f"ready: http://{host}:{port} — GET /healthz, "
+                  f"GET /search?q=...&k=N, POST /search "
+                  f'{{"query": "...", "k": N}}', file=sys.stderr, flush=True)
+            try:
+                server.serve_forever()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                server.server_close()
+            return 0
         print("ready: one query per line ('qid<TAB>text' or bare text); "
               "EOF/empty line exits", file=sys.stderr, flush=True)
-        qn = 0
-        for line in sys.stdin:
-            line = line.rstrip("\n")
-            if not line.strip():
-                break
-            if "\t" in line:
-                qid, text = line.split("\t", 1)
-            else:
-                qn += 1
-                qid, text = f"q{qn}", line
-            encoded = encode_queries({qid: text}, vocab, resolved.data)
-            if not encoded[qid]:
-                print(f"{qid}\t-\t-\t-\t# all terms out of vocabulary",
-                      flush=True)
-                continue
-            run = score_topics(params, resolved.model, encoded,
-                               registry.names, sc, prep=prep)
-            for rank, (name, score) in enumerate(run[qid], 1):
-                print(f"{qid}\t{rank}\t{name}\t{score:.6f}")
-            sys.stdout.flush()
+        serve_stdin(searcher, sys.stdin, sys.stdout)
         return 0
 
     if args.cmd == "neighbors":

@@ -1,0 +1,194 @@
+"""Query serving: the scorer staged once behind a reusable searcher.
+
+The reference toolkit's only query surface was a batch CLI (topics file ->
+run file; SURVEY.md section 4.3). Production deployment also needs a
+long-lived server process: load once, stage the entity matrix on-device
+once, answer free-text queries repeatedly with no per-query compile or
+re-staging. This module provides that as
+
+  * :class:`EntitySearcher` — the load/stage/warmup lifecycle plus a
+    thread-safe ``search(text)``;
+  * :func:`serve_stdin` — the reference-style interactive loop
+    (one query per line, ranked entities out), used by ``serve``;
+  * :func:`make_http_server` — a dependency-free JSON HTTP API on the
+    stdlib ``ThreadingHTTPServer`` (GET /healthz, GET|POST /search),
+    used by ``serve --http PORT``.
+
+Device dispatches are serialized by a lock: JAX dispatch is thread-safe,
+but serializing keeps per-query latency predictable instead of letting
+concurrent requests queue arbitrarily deep on one chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+from sert_tpu.utils.config import RecipeConfig
+from sert_tpu.utils.logging import get_logger
+
+log = get_logger("serving")
+
+
+class EntitySearcher:
+    """Load a trained run and answer ranked-entity queries repeatedly.
+
+    Loads checkpoint + vocab + entity registry, resolves the scoring
+    engine, stages the entity matrix once (pallas engine), and fires one
+    warm-up dispatch so the first real query does not pay the compile.
+    """
+
+    def __init__(self, recipe: RecipeConfig, data_dir: str, run_dir: str,
+                 step: Optional[int] = None, k: int = 10,
+                 query_batch: int = 16):
+        from sert_tpu import pipeline
+        from sert_tpu.data.instances import InstanceDataset
+        from sert_tpu.scoring.run import resolve_engine, score_topics
+        from sert_tpu.scoring.scorer import _entity_matrix
+
+        ds = InstanceDataset(data_dir)
+        self.recipe = pipeline.resolve_model_config(recipe, ds.meta)
+        self.params, self.vocab, self.registry = pipeline.load_scorer(
+            run_dir, data_dir, self.recipe, step=step)
+        self.score_cfg = dataclasses.replace(
+            self.recipe.score, top_k=k, query_batch=query_batch)
+        self.default_k = k
+        self.num_entities = len(self.registry.names)
+        self._score_topics = score_topics
+        self._lock = threading.Lock()
+        self.prep = None
+        if resolve_engine(self.score_cfg, self.num_entities) == "pallas":
+            from sert_tpu.ops.exact_topk import prepare_entities
+            self.prep = prepare_entities(_entity_matrix(
+                self.params, self.recipe.model, self.score_cfg.similarity))
+        # Warm-up dispatch: compile happens here, not on the first query.
+        self._score({"_warmup": self.vocab.encode(["warmup"])})
+
+    def _score(self, encoded):
+        return self._score_topics(self.params, self.recipe.model, encoded,
+                                  self.registry.names, self.score_cfg,
+                                  prep=self.prep)
+
+    def encode(self, text: str) -> List[int]:
+        """Query terms -> vocab ids with document preprocessing (OOV
+        dropped, reference semantics)."""
+        from sert_tpu.data.prepare import encode_queries
+        return encode_queries({"q": text}, self.vocab, self.recipe.data)["q"]
+
+    def search(self, text: str, k: Optional[int] = None
+               ) -> Optional[List[Tuple[str, float]]]:
+        """Ranked ``[(entity_name, score), ...]`` for a free-text query, or
+        ``None`` when every query term is out of vocabulary (the caller
+        distinguishes "no signal" from "low scores")."""
+        ids = self.encode(text)
+        if not ids:
+            return None
+        with self._lock:
+            run = self._score({"q": ids})
+        hits = run["q"]
+        if k is not None and k != self.default_k:
+            hits = hits[:k]  # top_k is staged; only narrowing is free
+        return hits
+
+
+def serve_stdin(searcher: EntitySearcher, in_stream, out_stream) -> None:
+    """One query per line ('qid<TAB>text' or bare text); ranked entities as
+    'qid<TAB>rank<TAB>entity<TAB>score' lines; empty line or EOF exits."""
+    qn = 0
+    for line in in_stream:
+        line = line.rstrip("\n")
+        if not line.strip():
+            break
+        if "\t" in line:
+            qid, text = line.split("\t", 1)
+        else:
+            qn += 1
+            qid, text = f"q{qn}", line
+        hits = searcher.search(text)
+        if hits is None:
+            print(f"{qid}\t-\t-\t-\t# all terms out of vocabulary",
+                  file=out_stream, flush=True)
+            continue
+        for rank, (name, score) in enumerate(hits, 1):
+            print(f"{qid}\t{rank}\t{name}\t{score:.6f}", file=out_stream)
+        out_stream.flush()
+
+
+def _search_payload(searcher: EntitySearcher, query: str,
+                    k: Optional[int]) -> dict:
+    hits = searcher.search(query, k=k)
+    if hits is None:
+        return {"query": query, "results": [],
+                "warning": "all query terms out of vocabulary"}
+    return {"query": query,
+            "results": [{"rank": r, "entity": name, "score": float(s)}
+                        for r, (name, s) in enumerate(hits, 1)]}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by make_http_server
+    searcher: EntitySearcher = None
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # route through the package logger
+        log.debug("http: " + fmt, *args)
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        if url.path == "/healthz":
+            self._reply(200, {
+                "status": "ok",
+                "entities": self.searcher.num_entities,
+                "model": self.searcher.recipe.model.model,
+                "vocab_size": len(self.searcher.vocab),
+            })
+            return
+        if url.path == "/search":
+            q = parse_qs(url.query)
+            query = (q.get("q") or q.get("query") or [""])[0]
+            if not query:
+                self._reply(400, {"error": "missing q= parameter"})
+                return
+            k = int(q["k"][0]) if "k" in q else None
+            self._reply(200, _search_payload(self.searcher, query, k))
+            return
+        self._reply(404, {"error": f"unknown path {url.path!r}; "
+                                   "use /healthz or /search"})
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        if url.path != "/search":
+            self._reply(404, {"error": f"unknown path {url.path!r}"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            query = req.get("query") or req.get("q") or ""
+            k = req.get("k")
+        except (ValueError, json.JSONDecodeError) as e:
+            self._reply(400, {"error": f"bad request body: {e}"})
+            return
+        if not query:
+            self._reply(400, {"error": "missing 'query' field"})
+            return
+        self._reply(200, _search_payload(self.searcher, query,
+                                         int(k) if k is not None else None))
+
+
+def make_http_server(searcher: EntitySearcher, host: str = "127.0.0.1",
+                     port: int = 0) -> ThreadingHTTPServer:
+    """Build (without starting) the HTTP server; ``port=0`` binds an
+    ephemeral port (tests). Call ``serve_forever()`` / ``shutdown()``."""
+    handler = type("BoundHandler", (_Handler,), {"searcher": searcher})
+    return ThreadingHTTPServer((host, port), handler)

@@ -281,6 +281,61 @@ class TestRealFormatPipeline:
         assert len(oov) == 1 and oov[0].startswith("q2\t")
         assert not any(l.startswith("never") for l in out)
 
+    def test_serve_http_api(self, workdir):
+        """serve --http: the stdlib JSON API answers /healthz and /search
+        (GET and POST), degrades gracefully on OOV, 400s on missing query,
+        404s unknown paths — all on an ephemeral loopback port."""
+        import threading
+        import urllib.error
+        import urllib.request
+
+        from sert_tpu.serving import EntitySearcher, make_http_server
+        from sert_tpu.utils.config import load_recipe
+
+        root = str(workdir)
+        recipe = load_recipe(os.path.join(root, "recipe.json"))
+        searcher = EntitySearcher(recipe, os.path.join(root, "data"),
+                                  os.path.join(root, "run"), k=3)
+        server = make_http_server(searcher, port=0)
+        host, port = server.server_address[:2]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        base = f"http://{host}:{port}"
+        try:
+            def get(path):
+                with urllib.request.urlopen(base + path, timeout=30) as r:
+                    return json.loads(r.read())
+
+            health = get("/healthz")
+            assert health["status"] == "ok"
+            assert health["entities"] == N_EXPERTS
+
+            q = "+".join(EXPERTS[5]["sig"])
+            res = get(f"/search?q={q}&k=2")
+            assert [h["entity"] for h in res["results"]][0] == EXPERTS[5]["id"]
+            assert len(res["results"]) == 2
+            assert res["results"][0]["rank"] == 1
+
+            body = json.dumps({"query": " ".join(EXPERTS[2]["sig"])}).encode()
+            req = urllib.request.Request(
+                base + "/search", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=30) as r:
+                res = json.loads(r.read())
+            assert res["results"][0]["entity"] == EXPERTS[2]["id"]
+            assert len(res["results"]) == 3   # default k
+
+            res = get("/search?q=zzz-not-in-vocab")
+            assert res["results"] == [] and "vocabulary" in res["warning"]
+
+            for path, code in (("/search", 400), ("/nope", 404)):
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    get(path)
+                assert ei.value.code == code
+        finally:
+            server.shutdown()
+            server.server_close()
+
     def test_amazon_reviews_pipeline(self, tmp_path, capsys):
         """The SECOND real-format family: Amazon review JSON-lines (.gz mix)
         through prepare -> train (LSE) -> query -> evaluate. Products are

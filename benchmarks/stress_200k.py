@@ -24,6 +24,13 @@ from sert_tpu.utils.config import DataConfig, ModelConfig, RecipeConfig, ScoreCo
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--optimizer", default="adam",
+                    help="adam | adagrad | sgd | adafactor")
+    ap.add_argument("--lr", type=float, default=3e-3)
+    args = ap.parse_args()
+
     t0 = time.time()
     E = 200_000
     col = make_synthetic(num_entities=E, vocab_size=100_000, docs_per_entity=1,
@@ -45,7 +52,8 @@ def main():
         model=ModelConfig(model="lse", vocab_size=meta["vocab_size"], num_entities=E,
                           word_dim=128, entity_dim=128, num_negatives=10,
                           negative_distribution="unigram", compute_dtype="bfloat16"),
-        train=TrainConfig(batch_size=4096, num_epochs=8, learning_rate=3e-3,
+        train=TrainConfig(batch_size=4096, num_epochs=8,
+                          optimizer=args.optimizer, learning_rate=args.lr,
                           steps_per_call=16, log_every_steps=0),
         score=ScoreConfig(top_k=100, similarity="cosine", engine="pallas"))
     t0 = time.time()

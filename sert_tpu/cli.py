@@ -357,5 +357,31 @@ def main(argv: Optional[List[str]] = None) -> int:
     return 1
 
 
+def console_main(argv: Optional[List[str]] = None) -> int:
+    """Entry point for `python -m sert_tpu` and the `sert-tpu` script:
+    expected user errors (missing files, bad configs, vocabulary-hash
+    mismatches) print one clean line instead of a traceback. ``main``
+    itself keeps raising so library callers and tests see the real
+    exception; set SERT_TPU_DEBUG=1 to re-raise here too."""
+    try:
+        return main(argv)
+    except KeyboardInterrupt:
+        return 130
+    except BrokenPipeError:
+        # downstream pipe closed early (e.g. `sert-tpu list | head`);
+        # suppress the stderr-flush noise on interpreter exit too.
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        return 0
+    except (FileNotFoundError, NotADirectoryError, IsADirectoryError,
+            PermissionError, ValueError) as e:
+        if os.environ.get("SERT_TPU_DEBUG"):
+            raise
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(console_main())

@@ -153,6 +153,42 @@ class TestCliMisc:
         with pytest.raises(SystemExit, match="unknown recipe"):
             main(["train", "--recipe", "no_such", "--data", "x", "--out", "y"])
 
+    def test_console_main_prints_clean_error(self, capsys):
+        """The script entry point turns expected user errors (missing data
+        dir here) into one stderr line + rc 2 instead of a traceback;
+        library callers of main() still get the exception (above)."""
+        from sert_tpu.cli import console_main
+        rc = console_main(["query", "--recipe",
+                           "recipes/w3c_expert_finding.json",
+                           "--data", "/nonexistent-data-dir",
+                           "--run-dir", "/nope", "--topics", "t",
+                           "--out", "o"])
+        assert rc == 2
+        err = capsys.readouterr().err
+        assert err.startswith("error: ") and "Traceback" not in err
+
+    def test_console_main_swallows_broken_pipe(self, monkeypatch):
+        """`sert-tpu list | head` must exit 0, not traceback."""
+        from sert_tpu import cli
+
+        def boom(argv=None):
+            raise BrokenPipeError
+        monkeypatch.setattr(cli, "main", boom)
+        # console_main closes stdout (the pipe is dead); give it a stand-in
+        # so pytest's capture file is not the thing being closed.
+        import io
+        import sys as _sys
+        monkeypatch.setattr(_sys, "stdout", io.StringIO())
+        assert cli.console_main(["list"]) == 0
+
+    def test_version_flag(self, capsys):
+        from sert_tpu import __version__
+        from sert_tpu.cli import main
+        with pytest.raises(SystemExit) as ei:
+            main(["--version"])
+        assert ei.value.code == 0
+        assert __version__ in capsys.readouterr().out
+
 
 class TestMentionBoundaries:
     def test_short_alias_no_substring_match(self):

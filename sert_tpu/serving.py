@@ -54,9 +54,13 @@ class EntitySearcher:
         self.recipe = pipeline.resolve_model_config(recipe, ds.meta)
         self.params, self.vocab, self.registry = pipeline.load_scorer(
             run_dir, data_dir, self.recipe, step=step)
-        self.score_cfg = dataclasses.replace(
-            self.recipe.score, top_k=k, query_batch=query_batch)
+        # Stage the engine at a k CAP (>= the default) so per-request k
+        # overrides up to the cap are a free slice instead of a re-staged
+        # engine; requests beyond the cap clamp to it.
         self.default_k = k
+        self.k_max = max(k, min(100, len(self.registry.names)))
+        self.score_cfg = dataclasses.replace(
+            self.recipe.score, top_k=self.k_max, query_batch=query_batch)
         self.num_entities = len(self.registry.names)
         self._score_topics = score_topics
         self._lock = threading.Lock()
@@ -89,10 +93,7 @@ class EntitySearcher:
             return None
         with self._lock:
             run = self._score({"q": ids})
-        hits = run["q"]
-        if k is not None and k != self.default_k:
-            hits = hits[:k]  # top_k is staged; only narrowing is free
-        return hits
+        return run["q"][:min(k or self.default_k, self.k_max)]
 
 
 def serve_stdin(searcher: EntitySearcher, in_stream, out_stream) -> None:
@@ -152,6 +153,8 @@ class _Handler(BaseHTTPRequestHandler):
                 "entities": self.searcher.num_entities,
                 "model": self.searcher.recipe.model.model,
                 "vocab_size": len(self.searcher.vocab),
+                "k_default": self.searcher.default_k,
+                "k_max": self.searcher.k_max,
             })
             return
         if url.path == "/search":

@@ -328,6 +328,10 @@ class TestRealFormatPipeline:
             res = get("/search?q=zzz-not-in-vocab")
             assert res["results"] == [] and "vocabulary" in res["warning"]
 
+            # k above the staged cap clamps to k_max (all 12 entities here)
+            res = get(f"/search?q={q}&k=999")
+            assert len(res["results"]) == health["k_max"] == N_EXPERTS
+
             for path, code in (("/search", 400), ("/nope", 404)):
                 with pytest.raises(urllib.error.HTTPError) as ei:
                     get(path)

@@ -95,6 +95,25 @@ class EntitySearcher:
             run = self._score({"q": ids})
         return run["q"][:min(k or self.default_k, self.k_max)]
 
+    def search_many(self, texts: List[str], k: Optional[int] = None
+                    ) -> List[Optional[List[Tuple[str, float]]]]:
+        """Batched search: one device pipeline for all queries (the
+        scorer batches query_batch topics per dispatch, so N queries cost
+        far less than N search() calls on a remote chip). Positions whose
+        query is entirely out of vocabulary come back as ``None``."""
+        from sert_tpu.data.prepare import encode_queries
+        encoded = encode_queries(
+            {str(i): t for i, t in enumerate(texts)},
+            self.vocab, self.recipe.data)
+        live = {qid: ids for qid, ids in encoded.items() if ids}
+        run = {}
+        if live:
+            with self._lock:
+                run = self._score(live)
+        kk = min(k or self.default_k, self.k_max)
+        return [run[str(i)][:kk] if str(i) in run else None
+                for i in range(len(texts))]
+
 
 def serve_stdin(searcher: EntitySearcher, in_stream, out_stream) -> None:
     """One query per line ('qid<TAB>text' or bare text); ranked entities as
@@ -119,15 +138,18 @@ def serve_stdin(searcher: EntitySearcher, in_stream, out_stream) -> None:
         out_stream.flush()
 
 
-def _search_payload(searcher: EntitySearcher, query: str,
-                    k: Optional[int]) -> dict:
-    hits = searcher.search(query, k=k)
+def _hits_payload(query: str, hits) -> dict:
     if hits is None:
         return {"query": query, "results": [],
                 "warning": "all query terms out of vocabulary"}
     return {"query": query,
             "results": [{"rank": r, "entity": name, "score": float(s)}
                         for r, (name, s) in enumerate(hits, 1)]}
+
+
+def _search_payload(searcher: EntitySearcher, query: str,
+                    k: Optional[int]) -> dict:
+    return _hits_payload(query, searcher.search(query, k=k))
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -178,15 +200,27 @@ class _Handler(BaseHTTPRequestHandler):
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n) or b"{}")
             query = req.get("query") or req.get("q") or ""
+            queries = req.get("queries")
             k = req.get("k")
+            k = int(k) if k is not None else None
         except (ValueError, json.JSONDecodeError) as e:
             self._reply(400, {"error": f"bad request body: {e}"})
             return
-        if not query:
-            self._reply(400, {"error": "missing 'query' field"})
+        if queries is not None:
+            if (not isinstance(queries, list)
+                    or not all(isinstance(q, str) for q in queries)):
+                self._reply(400, {"error": "'queries' must be a list of "
+                                           "strings"})
+                return
+            batches = self.searcher.search_many(queries, k=k)
+            self._reply(200, {"batched": [
+                _hits_payload(q, hits) for q, hits in zip(queries, batches)
+            ]})
             return
-        self._reply(200, _search_payload(self.searcher, query,
-                                         int(k) if k is not None else None))
+        if not query:
+            self._reply(400, {"error": "missing 'query' or 'queries' field"})
+            return
+        self._reply(200, _search_payload(self.searcher, query, k))
 
 
 def make_http_server(searcher: EntitySearcher, host: str = "127.0.0.1",

@@ -332,6 +332,23 @@ class TestRealFormatPipeline:
             res = get(f"/search?q={q}&k=999")
             assert len(res["results"]) == health["k_max"] == N_EXPERTS
 
+            # batched POST: one dispatch, per-query results, OOV slot
+            body = json.dumps({"queries": [
+                " ".join(EXPERTS[1]["sig"]),
+                "zzz-not-in-vocab",
+                " ".join(EXPERTS[7]["sig"]),
+            ], "k": 1}).encode()
+            req = urllib.request.Request(
+                base + "/search", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=30) as r:
+                res = json.loads(r.read())
+            b = res["batched"]
+            assert b[0]["results"][0]["entity"] == EXPERTS[1]["id"]
+            assert b[1]["results"] == [] and "vocabulary" in b[1]["warning"]
+            assert b[2]["results"][0]["entity"] == EXPERTS[7]["id"]
+            assert all(len(x["results"]) <= 1 for x in b)
+
             for path, code in (("/search", 400), ("/nope", 404)):
                 with pytest.raises(urllib.error.HTTPError) as ei:
                     get(path)

@@ -17,13 +17,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     from benchmarks.score_bench import measure_entities_per_sec
 
-    # 50 sweeps per timed jit call amortizes the ~24 ms tunnel-dispatch RTT
+    # 400 sweeps per timed jit call amortizes the ~24 ms tunnel-dispatch RTT
     # (see benchmarks/NOTES.md; the RTT is an artifact of the remote-chip
-    # tunnel, not of the engine — at 25 sweeps it still inflated every
-    # sweep by ~1 ms) without inflating compile time (lax.scan compiles
-    # once regardless of length).
+    # tunnel, not of the engine — at 50 sweeps it still inflated every
+    # sweep by ~0.5 ms) without inflating compile time (lax.scan compiles
+    # once regardless of length). Measured ladder: 50 -> 4.87 ms/sweep,
+    # 150 -> 4.47, 400 -> 4.34 (raw engine floor 4.17 + query-rep work).
     r = measure_entities_per_sec(num_entities=1_000_000, iters=5,
-                                 sweeps_per_iter=50)
+                                 sweeps_per_iter=400)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "benchmarks", "cpu_baseline.json")

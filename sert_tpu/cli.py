@@ -67,11 +67,40 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("query", help="score topics into a TREC run file")
     _add_recipe_arg(p)
     p.add_argument("--data", required=True)
-    p.add_argument("--run-dir", required=True)
+    p.add_argument("--run-dir", default=None,
+                   help="trained run directory (required for --ranker model)")
     p.add_argument("--topics", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--step", type=int, default=None,
                    help="checkpoint step (default: latest)")
+    p.add_argument("--ranker", choices=("model", "lm"), default="model",
+                   help="'model' = the trained semantic model; 'lm' = the "
+                        "smoothed query-likelihood entity language model "
+                        "over prepare-time term statistics (the papers' "
+                        "lexical baseline; no checkpoint needed)")
+    p.add_argument("--smoothing", choices=("dirichlet", "jm"),
+                   default="dirichlet", help="LM smoothing (--ranker lm)")
+    p.add_argument("--mu", type=float, default=2000.0,
+                   help="Dirichlet prior mass (--ranker lm)")
+    p.add_argument("--lam", type=float, default=0.5,
+                   help="Jelinek-Mercer background weight (--ranker lm)")
+
+    p = sub.add_parser("fuse", help="fuse run files (linear interpolation "
+                                    "of normalized scores, or reciprocal "
+                                    "rank fusion) — the papers' "
+                                    "semantic+lexical ensemble step")
+    p.add_argument("--runs", nargs="+", required=True,
+                   help="two or more TREC run files")
+    p.add_argument("--out", required=True)
+    p.add_argument("--method", choices=("interp", "rrf"), default="interp")
+    p.add_argument("--weights", nargs="*", type=float, default=None,
+                   help="per-run weights (default uniform); e.g. 0.3 0.7")
+    p.add_argument("--norm", choices=("minmax", "zscore", "none"),
+                   default="minmax", help="per-topic score normalization "
+                                          "(interp only)")
+    p.add_argument("--rrf-k", type=float, default=60.0)
+    p.add_argument("-k", type=int, default=0,
+                   help="truncate fused topics to top k (0 = keep all)")
 
     p = sub.add_parser("evaluate", help="trec_eval-style metrics")
     p.add_argument("--run", required=True)
@@ -204,6 +233,32 @@ def main(argv: Optional[List[str]] = None) -> int:
         from sert_tpu.scoring.run import score_topics
         ds = InstanceDataset(args.data)
         resolved = pipeline.resolve_model_config(recipe, ds.meta)
+        if args.ranker == "lm":
+            from sert_tpu.data.assoc import EntityRegistry
+            from sert_tpu.data.lm_stats import LM_STATS_NAME, LMStats
+            from sert_tpu.data.prepare import ENTITIES_NAME, VOCAB_NAME
+            from sert_tpu.data.vocab import Vocabulary
+            from sert_tpu.models.lm import EntityLM
+            stats_path = os.path.join(args.data, LM_STATS_NAME)
+            if not os.path.exists(stats_path):
+                raise SystemExit(
+                    f"{stats_path} not found — re-run prepare with "
+                    f"data.build_lm_stats=true (the default)")
+            vocab = Vocabulary.load(os.path.join(args.data, VOCAB_NAME))
+            registry = EntityRegistry.load(
+                os.path.join(args.data, ENTITIES_NAME))
+            lm = EntityLM(LMStats.load(stats_path),
+                          smoothing=args.smoothing, mu=args.mu, lam=args.lam)
+            topics = read_topics(args.topics)
+            encoded = encode_queries(topics, vocab, resolved.data)
+            run = lm.rank_topics(encoded, registry.names,
+                                 k=resolved.score.top_k)
+            write_run(run, args.out)
+            print(f"wrote {sum(len(v) for v in run.values())} entries "
+                  f"for {len(run)} topics to {args.out} (lm ranker)")
+            return 0
+        if not args.run_dir:
+            raise SystemExit("--run-dir is required with --ranker model")
         try:
             params, vocab, registry = pipeline.load_scorer(
                 args.run_dir, args.data, resolved, step=args.step)
@@ -240,6 +295,17 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 0
         out = results if args.per_topic else results["all"]
         print(json.dumps(out, indent=2, sort_keys=True))
+        return 0
+
+    if args.cmd == "fuse":
+        from sert_tpu.eval.fuse import fuse_runs
+        from sert_tpu.eval.trec import read_run, write_run
+        runs = [read_run(p) for p in args.runs]
+        fused = fuse_runs(runs, weights=args.weights, method=args.method,
+                          norm=args.norm, rrf_k=args.rrf_k, k=args.k)
+        write_run(fused, args.out, tag=f"fused_{args.method}")
+        print(f"fused {len(runs)} runs ({args.method}) over "
+              f"{len(fused)} topics to {args.out}")
         return 0
 
     if args.cmd == "sweep":

@@ -13,6 +13,7 @@ from typing import Dict
 
 from sert_tpu.data.assoc import Associations, EntityRegistry
 from sert_tpu.data.instances import InstanceWriter
+from sert_tpu.data.lm_stats import LM_STATS_NAME, LMStatsBuilder
 from sert_tpu.data.tokenize import tokenize
 from sert_tpu.data.vocab import Vocabulary
 from sert_tpu.data.windows import extract_windows
@@ -90,6 +91,8 @@ def prepare(
     assoc.save(os.path.join(out_dir, ASSOC_NAME))
 
     log.info("prepare: pass 2 (windows) vocab=%d entities=%d", len(vocab), len(registry))
+    lm_builder = (LMStatsBuilder(len(vocab))
+                  if cfg.build_lm_stats and len(vocab) else None)
     writer = InstanceWriter(
         out_dir,
         window_size=cfg.window_size,
@@ -99,23 +102,27 @@ def prepare(
     def encoded_docs():
         """(doc_id, entity_ids, token_ids) for docs with associations, in
         deterministic corpus order; tokenization runs in C++ when the native
-        lib is built, else optionally fans out over a process pool."""
+        lib is built, else optionally fans out over a process pool. The LM
+        statistics accumulate on this same stream (one corpus pass)."""
         items = [(doc_id, text) for doc_id, text in docs.items()
                  if assoc.entities_for(doc_id)]
         if cfg.num_workers > 0:
             from sert_tpu.data.parallel_prepare import parallel_encode
-            for doc_id, token_ids in parallel_encode(
-                    items, cfg, vocab.term_to_id, cfg.num_workers):
-                yield doc_id, assoc.entities_for(doc_id), token_ids
+            stream = ((doc_id, assoc.entities_for(doc_id), token_ids)
+                      for doc_id, token_ids in parallel_encode(
+                          items, cfg, vocab.term_to_id, cfg.num_workers))
         elif native_text is not None:
             nv = native_text.make_vocab(list(vocab.iter_terms()), **tok_opts)
-            for doc_id, text in items:
-                yield (doc_id, assoc.entities_for(doc_id),
-                       nv.encode(text).tolist())
+            stream = ((doc_id, assoc.entities_for(doc_id),
+                       nv.encode(text).tolist()) for doc_id, text in items)
         else:
-            for doc_id, text in items:
-                yield (doc_id, assoc.entities_for(doc_id),
+            stream = ((doc_id, assoc.entities_for(doc_id),
                        vocab.encode(_tok(text, cfg)))
+                      for doc_id, text in items)
+        for doc_id, ents, token_ids in stream:
+            if lm_builder is not None:
+                lm_builder.add(ents, token_ids)
+            yield doc_id, ents, token_ids
 
     n_docs_used = 0
     if native is not None:
@@ -157,6 +164,12 @@ def prepare(
             if w.shape[0]:
                 writer.add(w, l, e)
                 n_docs_used += 1
+
+    if lm_builder is not None:
+        stats = lm_builder.finalize(len(registry))
+        stats.save(os.path.join(out_dir, LM_STATS_NAME))
+        log.info("prepare: lm stats nnz=%d total_tokens=%d",
+                 len(stats.counts), stats.total_tokens)
 
     meta = writer.finalize(extra_meta={
         "vocab_size": len(vocab),

@@ -30,6 +30,10 @@ class DataConfig:
     instances_per_shard: int = 1 << 18
     seed: int = 0
     num_workers: int = 0            # >0: multiprocessing tokenize/encode
+    # Collect per-entity term counts during the prepare sweep (lm_stats.npz)
+    # so the lexical LM baseline (`query --ranker lm`) and run fusion work
+    # without a second corpus pass.
+    build_lm_stats: bool = True
 
 
 @dataclass(frozen=True)

@@ -53,17 +53,21 @@ class PreparedEntities(NamedTuple):
     """Entity matrix staged for repeated exact_topk sweeps: the bf16-padded
     binmax operand plus the bin-major rescore view, both device-resident.
     Registered as a pytree with the sizes as STATIC aux data so jit treats
-    them as compile-time constants."""
+    them as compile-time constants. ``te`` records the entity-tile size Mp
+    was padded for; the sweep MUST use the same value (score_binmax_prepared
+    validates), otherwise grid flooring would silently skip the tail rows."""
     Mp: jax.Array        # [Ep, dp] bf16, padded for the Pallas sweep
     M_binned: jax.Array  # [n_bins, bin_width, d] rescore-dtype, contiguous
     num_entities: int
     dim: int
     bin_width: int = LANES
+    te: int = 4096
 
 
 jax.tree_util.register_pytree_node(
     PreparedEntities,
-    lambda p: ((p.Mp, p.M_binned), (p.num_entities, p.dim, p.bin_width)),
+    lambda p: ((p.Mp, p.M_binned),
+               (p.num_entities, p.dim, p.bin_width, p.te)),
     lambda aux, ch: PreparedEntities(ch[0], ch[1], *aux),
 )
 
@@ -82,7 +86,7 @@ def prepare_entities(M: jax.Array, te: int = 4096,
     pdt = jnp.bfloat16 if prefilter_dtype == "bfloat16" else jnp.float32
     M_binned = _pad_to(M.astype(rdt), 0, bin_width).reshape(-1, bin_width, d)
     return PreparedEntities(prepare_binmax_matrix(M, te=te, dtype=pdt),
-                            M_binned, E, d, bin_width)
+                            M_binned, E, d, bin_width, te)
 
 
 def hierarchical_topk(x: jax.Array, k: int, m: Optional[int] = None,
@@ -124,13 +128,13 @@ def hierarchical_topk(x: jax.Array, k: int, m: Optional[int] = None,
     return jax.lax.cond(suspect, flat, lambda _: (top_s, top_i), None)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "pad_bins", "tq", "te",
+@functools.partial(jax.jit, static_argnames=("k", "pad_bins", "tq",
                                              "interpret", "fused_rescore"))
 def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
                         bias: Optional[jax.Array] = None,
                         alpha: Optional[jax.Array] = None,
                         k: int = 100, pad_bins: int = 12,
-                        tq: int = 256, te: int = 4096,
+                        tq: int = 256,
                         interpret: Optional[bool] = None,
                         fused_rescore: bool = True,
                         ) -> Tuple[jax.Array, jax.Array]:
@@ -152,8 +156,10 @@ def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
     bw = prep.bin_width
     k = min(k, E)
 
+    # The sweep tile size comes from the prep stage (prep.te): a mismatched
+    # te would floor the grid and silently skip the tail entity rows.
     bins = score_binmax_prepared(R, prep.Mp, E, bias, alpha,
-                                 tq=tq, te=te, interpret=interpret,
+                                 tq=tq, te=prep.te, interpret=interpret,
                                  bin_width=bw)
     nb_total = bins.shape[1]
     nb = min(k + pad_bins, nb_total)
@@ -209,4 +215,4 @@ def exact_topk(R: jax.Array, M: jax.Array,
     """One-shot convenience: prepare_entities + exact_topk_prepared."""
     prep = prepare_entities(M, te=te, rescore_dtype=rescore_dtype)
     return exact_topk_prepared(R, prep, bias, alpha, k=k, pad_bins=pad_bins,
-                               tq=tq, te=te, interpret=interpret)
+                               tq=tq, interpret=interpret)

@@ -113,6 +113,13 @@ def score_binmax_prepared(R: jax.Array, Mp: jax.Array, num_entities: int,
     Qp, Ep, dp = Rp.shape[0], Mp.shape[0], Rp.shape[1]
     assert Mp.shape[1] == dp, "R/M dim mismatch after padding"
     assert te % bin_width == 0 and LANES % bin_width == 0
+    if Ep % te:
+        # Grid flooring below would silently skip the tail rows (their bins
+        # would come back as uninitialized memory) — the te used here MUST
+        # match the one prepare_binmax_matrix padded for.
+        raise ValueError(
+            f"Mp has {Ep} rows, not a multiple of te={te}: the sweep tile "
+            f"size must match the prepare_binmax_matrix te")
     n_bins_padded = Ep // bin_width
 
     grid = (Qp // tq, Ep // te)

@@ -112,7 +112,7 @@ def _local_binmax_topk(R, mask, M_shard, bias_shard, k, is_ll,
 
 
 def _shard_body(R, term_emb, mask, M_shard, bias_shard, *prep_arrays,
-                k, chunk, is_ll, merge, axis, local_engine):
+                k, chunk, is_ll, merge, axis, local_engine, prep_te=None):
     """Runs on each model-axis device inside shard_map."""
     n_shards = jax.lax.axis_size(axis)
     my = jax.lax.axis_index(axis)
@@ -130,7 +130,7 @@ def _shard_body(R, term_emb, mask, M_shard, bias_shard, *prep_arrays,
         from sert_tpu.ops.exact_topk import PreparedEntities, exact_topk_prepared
         Mp_l, Mb_l = prep_arrays
         prep = PreparedEntities(Mp_l, Mb_l, rows, M_shard.shape[1],
-                                Mb_l.shape[1])
+                                Mb_l.shape[1], prep_te)
         alpha = (jnp.sum(mask.astype(jnp.float32), axis=-1) if is_ll
                  else None)
         k_local = min(k, rows)
@@ -195,7 +195,7 @@ def _shard_body(R, term_emb, mask, M_shard, bias_shard, *prep_arrays,
 
 
 def prepare_distributed(params, cfg: ModelConfig, mesh: Mesh,
-                        similarity: str = "dot", te: int = 2048,
+                        similarity: str = "dot", te: int = 4096,
                         rescore_dtype: str = "float32",
                         prefilter_dtype: str = "bfloat16"):
     """Stage the entity matrix for repeated ``local_engine="pallas"`` sweeps:
@@ -220,7 +220,7 @@ def prepare_distributed(params, cfg: ModelConfig, mesh: Mesh,
         body, mesh=mesh, in_specs=(P("model", None),),
         out_specs=(P("model", None), P("model", None, None)),
         check_vma=False)(M)
-    return PreparedEntities(Mp, Mb, E // tp, d, Mb.shape[1])
+    return PreparedEntities(Mp, Mb, E // tp, d, Mb.shape[1], te)
 
 
 def distributed_topk(params, cfg: ModelConfig, term_ids: jax.Array,
@@ -259,18 +259,20 @@ def distributed_topk(params, cfg: ModelConfig, term_ids: jax.Array,
     if term_emb is None:
         term_emb = jnp.zeros(mask.shape + (1,), jnp.float32)  # placeholder
 
-    body = functools.partial(_shard_body, k=k, chunk=chunk, is_ll=is_ll,
-                             merge=merge, axis="model",
-                             local_engine=local_engine)
     in_specs = [P("data", None), P("data", None, None), P("data", None),
                 P("model", None), P("model")]
     args = [R, term_emb, mask, M, bias]
+    prep_te = None
     if local_engine == "pallas":
         if prep is None:
             prep = prepare_distributed(params, cfg, mesh,
                                        similarity=similarity)
+        prep_te = prep.te   # static: the sweep tile Mp was padded for
         in_specs += [P("model", None), P("model", None, None)]
         args += [prep.Mp, prep.M_binned]
+    body = functools.partial(_shard_body, k=k, chunk=chunk, is_ll=is_ll,
+                             merge=merge, axis="model",
+                             local_engine=local_engine, prep_te=prep_te)
     # check_vma=False: after the all_gather/ring merge every model-axis
     # device holds the same winners, but the static varying-axes analysis
     # cannot see through top_k to infer that replication.

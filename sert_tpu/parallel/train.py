@@ -80,10 +80,9 @@ def make_sharded_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         n = next(iter(batch.values())).shape[bdim]
         if n % dp:
             raise ValueError(
-                f"batch size {n} must divide the data mesh axis ({dp}); "
-                f"set TrainConfig.batch_size to a multiple of "
-                f"mesh_shape[0] (the feeder emits mesh-divisible batches "
-                f"when configured so)")
+                f"batch size {n} must be a multiple of the data mesh axis "
+                f"({dp}); set TrainConfig.batch_size accordingly (the "
+                f"feeder emits mesh-divisible batches when configured so)")
         return {k: jax.device_put(jnp.asarray(v), batch_sh[k])
                 for k, v in batch.items()}
 

@@ -9,7 +9,8 @@ everywhere and would be noise).
 
 from __future__ import annotations
 
-from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import (Any, Dict, List, Mapping, NamedTuple, Optional, Sequence,
+                    Tuple)
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,39 @@ def resolve_engine(sc: ScoreConfig, num_entities: int) -> str:
     if jax.default_backend() == "tpu":
         return "pallas"
     return "dense" if num_entities <= sc.entity_chunk else "streaming"
+
+
+class DistStaged(NamedTuple):
+    """The distributed engine's one-time staging: params placed on the mesh
+    (entity axis over "model"), the per-shard Pallas prep (when the local
+    engine is pallas), and the resolved local engine. Build once via
+    :func:`stage_distributed` and pass as ``score_topics(..., prep=...)`` —
+    re-placing the entity matrix and re-running prepare_distributed per call
+    costs more than the sweep (benchmarks/NOTES.md)."""
+    mesh: Any
+    params: Any
+    prep: Any
+    local_engine: str
+
+
+def stage_distributed(params, cfg: ModelConfig, sc: ScoreConfig) -> DistStaged:
+    """Place params on the score mesh and stage the per-shard sweep operands
+    for repeated ``engine="distributed"`` calls."""
+    from sert_tpu.parallel.mesh import make_mesh
+    from sert_tpu.parallel.sharding import state_shardings
+    mesh = make_mesh(sc.mesh_shape)
+    sh = state_shardings(params, mesh, cfg)
+    params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, sh)
+    local_engine = sc.local_engine
+    if local_engine == "auto":
+        local_engine = ("pallas" if jax.default_backend() == "tpu"
+                        else "binmax")
+    prep = None
+    if local_engine == "pallas":
+        from sert_tpu.parallel.topk import prepare_distributed
+        prep = prepare_distributed(params, cfg, mesh,
+                                   similarity=sc.similarity)
+    return DistStaged(mesh, params, prep, local_engine)
 
 
 def pad_queries(encoded: Mapping[str, Sequence[int]], max_terms: int = 16
@@ -62,9 +96,11 @@ def score_topics(
     """Score every topic against every entity; returns a TREC run dict
     {qid: [(entity_name, score), ...]} with top-k entries per topic.
 
-    ``prep``: pre-staged entities (ops.exact_topk.prepare_entities) for the
-    pallas engine — pass it when calling repeatedly (the serve CLI does) so
-    the matrix is cast/padded once, not per call."""
+    ``prep``: the engine's one-time staging, for repeated calls (the serve
+    CLI passes it) — ops.exact_topk.prepare_entities for the pallas engine,
+    :func:`stage_distributed`'s result for the distributed engine. Without
+    it each call re-stages (cast/pad, or mesh placement + per-shard prep),
+    which costs more than the sweep."""
     sc = score_cfg or ScoreConfig()
     qids, term_ids, num_terms = pad_queries(encoded_topics, max_terms)
     E = len(entity_names)
@@ -76,20 +112,10 @@ def score_topics(
         from sert_tpu.ops.exact_topk import prepare_entities
         prep = prepare_entities(_entity_matrix(params, cfg, sc.similarity))
     elif engine == "distributed":
-        from sert_tpu.parallel.mesh import make_mesh
-        from sert_tpu.parallel.sharding import state_shardings
-        mesh = make_mesh(sc.mesh_shape)
-        # place params on the mesh once (entity axis over "model")
-        sh = state_shardings(params, mesh, cfg)
-        params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, sh)
-        local_engine = sc.local_engine
-        if local_engine == "auto":
-            local_engine = ("pallas" if jax.default_backend() == "tpu"
-                            else "binmax")
-        if local_engine == "pallas":
-            from sert_tpu.parallel.topk import prepare_distributed
-            prep = prepare_distributed(params, cfg, mesh,
-                                       similarity=sc.similarity)
+        staged = (prep if isinstance(prep, DistStaged)
+                  else stage_distributed(params, cfg, sc))
+        mesh, params = staged.mesh, staged.params
+        prep, local_engine = staged.prep, staged.local_engine
 
     B = sc.query_batch
     k = min(sc.top_k, E)

@@ -65,10 +65,17 @@ class EntitySearcher:
         self._score_topics = score_topics
         self._lock = threading.Lock()
         self.prep = None
-        if resolve_engine(self.score_cfg, self.num_entities) == "pallas":
+        engine = resolve_engine(self.score_cfg, self.num_entities)
+        if engine == "pallas":
             from sert_tpu.ops.exact_topk import prepare_entities
             self.prep = prepare_entities(_entity_matrix(
                 self.params, self.recipe.model, self.score_cfg.similarity))
+        elif engine == "distributed":
+            # Mesh placement + per-shard Pallas staging once, not per query
+            # (score_topics otherwise re-stages the entity matrix per call).
+            from sert_tpu.scoring.run import stage_distributed
+            self.prep = stage_distributed(self.params, self.recipe.model,
+                                          self.score_cfg)
         # Warm-up dispatch: compile happens here, not on the first query.
         self._score({"_warmup": self.vocab.encode(["warmup"])})
 
@@ -93,7 +100,7 @@ class EntitySearcher:
             return None
         with self._lock:
             run = self._score({"q": ids})
-        return run["q"][:min(k or self.default_k, self.k_max)]
+        return run["q"][:self._clamp_k(k)]
 
     def search_many(self, texts: List[str], k: Optional[int] = None
                     ) -> List[Optional[List[Tuple[str, float]]]]:
@@ -110,9 +117,16 @@ class EntitySearcher:
         if live:
             with self._lock:
                 run = self._score(live)
-        kk = min(k or self.default_k, self.k_max)
+        kk = self._clamp_k(k)
         return [run[str(i)][:kk] if str(i) in run else None
                 for i in range(len(texts))]
+
+    def _clamp_k(self, k: Optional[int]) -> int:
+        """Requested k -> [1, k_max]; None and non-positive values (a
+        negative slice would return ~everything) fall back to the default."""
+        if k is None or k < 1:
+            return min(self.default_k, self.k_max)
+        return min(k, self.k_max)
 
 
 def serve_stdin(searcher: EntitySearcher, in_stream, out_stream) -> None:
@@ -185,7 +199,11 @@ class _Handler(BaseHTTPRequestHandler):
             if not query:
                 self._reply(400, {"error": "missing q= parameter"})
                 return
-            k = int(q["k"][0]) if "k" in q else None
+            try:
+                k = int(q["k"][0]) if "k" in q else None
+            except ValueError:
+                self._reply(400, {"error": "k must be an integer"})
+                return
             self._reply(200, _search_payload(self.searcher, query, k))
             return
         self._reply(404, {"error": f"unknown path {url.path!r}; "

@@ -332,6 +332,15 @@ class TestRealFormatPipeline:
             res = get(f"/search?q={q}&k=999")
             assert len(res["results"]) == health["k_max"] == N_EXPERTS
 
+            # non-integer k: a clean 400, not a dropped connection
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                get(f"/search?q={q}&k=abc")
+            assert ei.value.code == 400
+            # non-positive k falls back to the default (a negative slice
+            # would have returned nearly everything)
+            res = get(f"/search?q={q}&k=-1")
+            assert len(res["results"]) == 3
+
             # batched POST: one dispatch, per-query results, OOV slot
             body = json.dumps({"queries": [
                 " ".join(EXPERTS[1]["sig"]),

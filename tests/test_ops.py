@@ -132,6 +132,42 @@ class TestExactTopk:
         assert (np.sort(np.asarray(i), axis=1) == np.arange(200)).all()
 
 
+class TestPrepSweepTileConsistency:
+    """Regression: the sweep tile size must come from the prepare stage.
+
+    prepare_binmax_matrix pads entity rows to a multiple of ITS te; a sweep
+    run with a LARGER te floors the grid and silently skips the tail rows —
+    their bins read back as uninitialized memory (NaN under the
+    interpreter, garbage on HBM), so true winners living there are lost."""
+
+    def test_non_default_prep_te_keeps_tail_rows(self):
+        # E=5000 pads to 6144 under te=2048 — an odd multiple of 2048, NOT
+        # a multiple of the old hardcoded sweep te=4096, which dropped rows
+        # 4096..4999. Winners planted there must be found.
+        from sert_tpu.ops.exact_topk import (exact_topk_prepared,
+                                             prepare_entities)
+        rng = np.random.default_rng(11)
+        d, E, k = 32, 5000, 10
+        M = rng.normal(size=(E, d)).astype(np.float32) * 0.01
+        q = rng.normal(size=(d,)).astype(np.float32)
+        M[4500:4500 + k] = (q / np.linalg.norm(q))[None, :] * 5.0
+        R = jnp.asarray(np.stack([q] * 8))
+        prep = prepare_entities(jnp.asarray(M), te=2048)
+        assert prep.te == 2048
+        got_s, got_i = exact_topk_prepared(R, prep, k=k)
+        assert np.isfinite(np.asarray(got_s)).all()
+        assert set(np.asarray(got_i)[0]) == set(range(4500, 4500 + k))
+
+    def test_mismatched_sweep_te_rejected(self):
+        from sert_tpu.ops.score_binmax import (prepare_binmax_matrix,
+                                               score_binmax_prepared)
+        M = jnp.zeros((5000, 32), jnp.float32)
+        Mp = prepare_binmax_matrix(M, te=2048)   # 6144 rows
+        with pytest.raises(ValueError, match="multiple of te"):
+            score_binmax_prepared(jnp.zeros((4, 32), jnp.float32), Mp,
+                                  5000, te=4096)
+
+
 class TestFusedXent:
     def _ref(self, pooled, W, b, labels, layout):
         z = (pooled @ W if layout == "de" else pooled @ W.T) + b

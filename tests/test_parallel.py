@@ -250,6 +250,36 @@ class TestDistributedTopk:
         with pytest.raises(ValueError):
             distributed_topk(params, cfg, term_ids, num_terms, mesh, k=4)
 
+    def test_pallas_prep_te_reaches_tail_rows(self):
+        """Regression: prepare_distributed's te must be the te the per-shard
+        sweep runs with. With 5000 rows/shard (padded to 6144 under te=2048)
+        and a sweep hardcoded at te=4096, the grid floored and rows
+        4096..4999 of every shard were scored from uninitialized bins —
+        winners planted there were silently lost."""
+        from sert_tpu.parallel.topk import prepare_distributed
+        mesh = make_mesh((1, 2))
+        cfg = CFG_LSE.replace(num_entities=10_000)
+        params = dict(api.init_params(jax.random.key(3), cfg))
+        # Plant strong winners in the tail rows of BOTH shards.
+        emb = np.asarray(params["entity_emb"], np.float32) * 0.01
+        rng = np.random.default_rng(3)
+        probe = rng.normal(size=emb.shape[1]).astype(np.float32)
+        for shard_lo in (0, 5000):
+            emb[shard_lo + 4600: shard_lo + 4604] = probe * 5.0
+        params["entity_emb"] = jnp.asarray(emb)
+        term_ids, num_terms = _queries(rng, Q=4)
+        want_s, want_i = streaming_topk(params, cfg, term_ids, num_terms,
+                                        k=8, chunk=512)
+        prep = prepare_distributed(params, cfg, mesh, te=2048)
+        assert prep.te == 2048
+        got_s, got_i = distributed_topk(params, cfg, term_ids, num_terms,
+                                        mesh, k=8, chunk=512,
+                                        local_engine="pallas", prep=prep)
+        assert np.isfinite(np.asarray(got_s)).all()
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
     def test_sharded_params_stay_sharded(self):
         """distributed_topk accepts params already placed on the mesh."""
         mesh = make_mesh((2, 4))

@@ -153,6 +153,24 @@ class TestPallasEngine:
         for qid in topics:
             assert [n for n, _ in run_d[qid]] == [n for n, _ in run_x[qid]]
 
+    def test_distributed_engine_staged_prep_reused(self):
+        """stage_distributed once + score_topics(prep=staged) must match the
+        per-call staging path — this is the serve lifecycle, where the mesh
+        placement and per-shard prep happen at load time, not per query."""
+        from sert_tpu.scoring.run import stage_distributed
+        cfg = CFG_LSE.replace(num_entities=40)
+        params = api.init_params(jax.random.key(22), cfg)
+        names = [f"e{i}" for i in range(40)]
+        topics = {f"q{i}": [1 + i, 2 + i] for i in range(6)}
+        sc = ScoreConfig(top_k=7, engine="distributed", mesh_shape=(2, 4),
+                         query_batch=4, local_engine="pallas")
+        staged = stage_distributed(params, cfg, sc)
+        assert staged.local_engine == "pallas" and staged.prep is not None
+        run_once = score_topics(params, cfg, topics, names, sc)
+        run_staged = score_topics(params, cfg, topics, names, sc, prep=staged)
+        for qid in topics:
+            assert run_once[qid] == run_staged[qid]
+
     def test_score_topics_pallas_matches_dense(self):
         params = api.init_params(jax.random.key(12), CFG_LSE)
         names = [f"e{i}" for i in range(37)]

@@ -102,6 +102,30 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-k", type=int, default=0,
                    help="truncate fused topics to top k (0 = keep all)")
 
+    p = sub.add_parser("report", help="the papers' headline table: semantic "
+                                      "model vs lexical LM baseline vs "
+                                      "fused, all metrics, significance "
+                                      "markers (markdown)")
+    _add_recipe_arg(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--run-dir", default=None,
+                   help="trained run dir (omit for an lm-only report)")
+    p.add_argument("--topics", required=True)
+    p.add_argument("--qrels", required=True)
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--fuse-weight", type=float, default=0.5,
+                   help="semantic model's interpolation weight (the LM "
+                        "gets 1 - w)")
+    p.add_argument("--smoothing", choices=("dirichlet", "jm"),
+                   default="dirichlet")
+    p.add_argument("--mu", type=float, default=2000.0)
+    p.add_argument("--lam", type=float, default=0.5)
+    p.add_argument("--out", default=None, help="write markdown here "
+                                               "(default: stdout)")
+    p.add_argument("--json", action="store_true",
+                   help="print the raw report JSON instead of markdown")
+    p.add_argument("--title", default=None)
+
     p = sub.add_parser("evaluate", help="trec_eval-style metrics")
     p.add_argument("--run", required=True)
     p.add_argument("--qrels", required=True)
@@ -275,6 +299,30 @@ def main(argv: Optional[List[str]] = None) -> int:
         write_run(run, args.out)
         print(f"wrote {sum(len(v) for v in run.values())} entries "
               f"for {len(run)} topics to {args.out}")
+        return 0
+
+    if args.cmd == "report":
+        recipe = _load_recipe(args.recipe)
+        from sert_tpu.eval.report import (build_ranker_runs, format_markdown,
+                                          ranker_report)
+        from sert_tpu.eval.trec import read_qrels, read_topics
+        topics = read_topics(args.topics)
+        qrels = read_qrels(args.qrels)
+        runs = build_ranker_runs(recipe, args.data, args.run_dir, topics,
+                                 step=args.step, fuse_weight=args.fuse_weight,
+                                 smoothing=args.smoothing, mu=args.mu,
+                                 lam=args.lam)
+        report = ranker_report(runs, qrels)
+        if args.json:
+            text = json.dumps(report, indent=2, sort_keys=True)
+        else:
+            text = format_markdown(report, title=args.title or recipe.name)
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(text + "\n")
+            print(f"wrote report for {len(runs)} rankers to {args.out}")
+        else:
+            print(text)
         return 0
 
     if args.cmd == "evaluate":

@@ -118,25 +118,34 @@ def make_synthetic(
         n_docs = np.maximum(1, np.round(docs_per_entity * w)).astype(int)
     else:
         n_docs = np.full(num_entities, docs_per_entity, int)
-    max_docs = int(n_docs.max())
 
     entities = [f"entity{i:04d}" for i in range(num_entities)]
     docs: Dict[str, str] = {}
     doc_entities: Dict[str, List[str]] = {}
-    # One vectorized draw for every token of every document (a per-doc
-    # Python loop took minutes at 200k entities).
+    # One vectorized draw for every token of every ACTUAL document. Two
+    # scale traps live here: (1) a dense [E, max_docs, len] buffer sizes by
+    # the skew's MAX doc count, not the sum — at 3500 hard-mode entities
+    # that is 573M slots for 3.4M real tokens; (2) rng.choice with a
+    # 40k-category p is far slower than inverse-CDF sampling. Both made
+    # recipe-scale hard collections take an hour to generate.
     sig_matrix = np.stack(signatures)                       # [E, sig]
-    shape = (num_entities, max_docs, doc_len)
-    sig_pick = sig_matrix[
-        np.arange(num_entities)[:, None, None],
-        rng.integers(0, signature_size, size=shape)]
-    noise_pick = rng.choice(vocab_size, size=shape, p=zipf)
+    total_docs = int(n_docs.sum())
+    doc_owner = np.repeat(np.arange(num_entities), n_docs)  # [D]
+    starts = np.cumsum(n_docs) - n_docs
+    di_within = np.arange(total_docs) - starts[doc_owner]
+    shape = (total_docs, doc_len)
+    sig_pick = sig_matrix[doc_owner[:, None],
+                          rng.integers(0, signature_size, size=shape)]
+    zipf_cdf = np.cumsum(zipf)
+    noise_pick = np.minimum(
+        np.searchsorted(zipf_cdf, rng.random(size=shape), side="right"),
+        vocab_size - 1)
     token_ids = np.where(rng.random(shape) < signal, sig_pick, noise_pick)
-    for ei, ent in enumerate(entities):
-        for di in range(n_docs[ei]):
-            doc_id = f"doc-{ei:04d}-{di:03d}"
-            docs[doc_id] = " ".join(terms[t] for t in token_ids[ei, di])
-            doc_entities[doc_id] = [ent]
+    for d in range(total_docs):
+        ei = int(doc_owner[d])
+        doc_id = f"doc-{ei:04d}-{int(di_within[d]):03d}"
+        docs[doc_id] = " ".join(terms[t] for t in token_ids[d])
+        doc_entities[doc_id] = [entities[ei]]
 
     # Topics: queries drawn from one entity's signature; that entity is the
     # top answer. Topic entities cycle deterministically. Hard mode: at

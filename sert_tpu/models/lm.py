@@ -115,11 +115,19 @@ class EntityLM:
     def rank_topics(self, encoded: Mapping[str, Sequence[int]],
                     entity_names: Sequence[str], k: int = 100,
                     chunk: int = 1 << 16) -> Dict[str, List[Tuple[str, float]]]:
-        """Run-file dict {topic: [(entity, score) ...]} like score_topics."""
+        """Run-file dict {topic: [(entity, score) ...]} like score_topics.
+
+        Topics whose encoding is empty (every term OOV) come back as empty
+        lists, matching scoring/run.py's semantics — emitting k
+        arbitrary zero-scored entities would add pure noise to the run and
+        skew any fusion against the semantic ranker."""
         tids = list(encoded.keys())
-        scores, idx = self.topk([encoded[t] for t in tids], k=k, chunk=chunk)
-        return {
-            tid: [(entity_names[int(i)], float(s))
-                  for s, i in zip(scores[q], idx[q])]
-            for q, tid in enumerate(tids)
-        }
+        live = [t for t in tids if len(encoded[t])]
+        run: Dict[str, List[Tuple[str, float]]] = {t: [] for t in tids}
+        if live:
+            scores, idx = self.topk([encoded[t] for t in live], k=k,
+                                    chunk=chunk)
+            for q, tid in enumerate(live):
+                run[tid] = [(entity_names[int(i)], float(s))
+                            for s, i in zip(scores[q], idx[q])]
+        return run

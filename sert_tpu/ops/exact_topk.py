@@ -19,7 +19,7 @@ prefilter multiplies in bf16, so "exact" holds for score margins above bf16
 resolution (~4e-3 relative). When the true k-th/(k+1)-th gap is finer —
 tightly clustered trained embeddings — boundary elements can be missed even
 though the RETURNED scores are fp32-honest. Mitigations, in cost order:
-``pad_bins`` (default 16) absorbs boundary reshuffles; and
+``pad_bins`` (default 12) absorbs boundary reshuffles; and
 ``prepare_entities(..., prefilter_dtype="float32")`` makes the prefilter
 full-precision (slower MXU passes, 2x prefilter memory). Note the XLA
 "fp32" dense oracle on TPU itself multiplies in bf16 passes at DEFAULT

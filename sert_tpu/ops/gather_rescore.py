@@ -40,9 +40,10 @@ def _kernel(idx_ref, r_ref, *refs, qb, bw, d):
     o_ref[0] = jnp.stack(rows, axis=0)                  # [QB, bw]
 
 
-# The bin-index table is scalar-prefetched into SMEM (~1MB total); chunk
-# the NB axis so one call never exceeds this budget (Q=256, k=1000 would
-# otherwise need exactly 1.008MB and OOM).
+# The bin-index table is scalar-prefetched into SMEM (capacity ~1MB on
+# v5e); chunk the NB axis so one call stays well under it — 256KB leaves
+# headroom for Mosaic's own scalar state (Q=256, k=1000 unchunked would
+# need 1.008MB of bin_idx alone and OOM).
 _SMEM_IDX_BUDGET = 1 << 18  # bytes of bin_idx per pallas_call
 
 
@@ -51,9 +52,10 @@ def gather_rescore(R: jax.Array, M_binned: jax.Array, bin_idx: jax.Array,
                    interpret: Optional[bool] = None, qb: int = QB) -> jax.Array:
     """[Q, NB*bw] exact scores of the selected bins.
 
-    R [Q, d] (Q must be a multiple of 8; pad upstream), M_binned
-    [n_bins, bw, d] (from ops.exact_topk.prepare_entities; bw = bin width,
-    64 or 128), bin_idx [Q, NB] int32 in [0, n_bins).
+    R [Q, d] (Q must be a multiple of ``qb``, default 16 — pad upstream as
+    exact_topk_prepared does), M_binned [n_bins, bw, d] (from
+    ops.exact_topk.prepare_entities; bw = bin width, 64 or 128), bin_idx
+    [Q, NB] int32 in [0, n_bins).
     """
     Q = R.shape[0]
     NB = bin_idx.shape[1]

@@ -30,7 +30,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from sert_tpu.models import api
 from sert_tpu.scoring.scorer import (_entity_matrix,
                                      _query_reps_and_terms,
-                                     apply_ll_normalizer, chunked_topk_core)
+                                     apply_ll_normalizer, chunked_topk_core,
+                                     lse_chunk_update)
 from sert_tpu.utils.config import ModelConfig
 
 
@@ -59,10 +60,7 @@ def _local_lse(term_emb, mask, M_shard, bias_shard, chunk):
         z = jnp.einsum("qtd,cd->qtc", term_emb.astype(jnp.float32), Mc) + bc
         z = jnp.where(((lo + jnp.arange(chunk)) < rows)[None, None, :], z,
                       -jnp.inf)
-        m_new = jnp.maximum(run_max, jnp.max(z, axis=-1))
-        run_sum = (run_sum * jnp.exp(run_max - m_new)
-                   + jnp.sum(jnp.exp(z - m_new[:, :, None]), axis=-1))
-        return (m_new, run_sum), None
+        return lse_chunk_update(run_max, run_sum, z), None
 
     init = (jnp.full((Q, T), -jnp.inf), jnp.zeros((Q, T), jnp.float32))
     init = tuple(jax.lax.pcast(x, ("data", "model"), to="varying")

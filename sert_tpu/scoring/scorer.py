@@ -78,6 +78,21 @@ def dense_scores(params, cfg: ModelConfig, term_ids: jax.Array,
     return scores
 
 
+def lse_chunk_update(run_max: jax.Array, run_sum: jax.Array, z: jax.Array
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """One online-logsumexp accumulation over the trailing (entity) axis of
+    ``z``: numerically stable merge of the running (max, sumexp) carry with
+    a new chunk of logits. THE shared accumulator body — chunked_topk_core,
+    ll_log_normalizer's scan engine, and parallel.topk._local_lse must stay
+    numerically identical for the exactness claims (streaming == dense,
+    distributed == single-device), so they all call this instead of
+    hand-rolling the update."""
+    m_new = jnp.maximum(run_max, jnp.max(z, axis=-1))
+    run_sum = (run_sum * jnp.exp(run_max - m_new)
+               + jnp.sum(jnp.exp(z - m_new[..., None]), axis=-1))
+    return m_new, run_sum
+
+
 def chunked_topk_core(R: jax.Array, term_emb: Optional[jax.Array],
                       mask: jax.Array, M: jax.Array,
                       bias: Optional[jax.Array], k: int, chunk: int,
@@ -114,10 +129,7 @@ def chunked_topk_core(R: jax.Array, term_emb: Optional[jax.Array],
             # term-level logits for the online normalizer
             z = jnp.einsum("qtd,cd->qtc", term_emb.astype(jnp.float32), Mc) + bc
             z = jnp.where(valid[None, None, :], z, NEG_INF)
-            m_new = jnp.maximum(run_max, jnp.max(z, axis=-1))      # [Q, T]
-            run_sum = (run_sum * jnp.exp(run_max - m_new)
-                       + jnp.sum(jnp.exp(z - m_new[:, :, None]), axis=-1))
-            run_max = m_new
+            run_max, run_sum = lse_chunk_update(run_max, run_sum, z)
             sc = jnp.sum(z * tm32[:, :, None], axis=1)             # [Q, C]
         else:
             sc = jnp.dot(R.astype(jnp.float32), Mc.T,
@@ -205,10 +217,7 @@ def ll_log_normalizer(params, cfg: ModelConfig, term_ids: jax.Array,
         bc = jax.lax.dynamic_slice_in_dim(b_p, lo, chunk)
         z = jnp.einsum("qtd,cd->qtc", term_emb.astype(jnp.float32), Mc) + bc
         z = jnp.where(((lo + jnp.arange(chunk)) < E)[None, None, :], z, NEG_INF)
-        m_new = jnp.maximum(run_max, jnp.max(z, axis=-1))
-        run_sum = (run_sum * jnp.exp(run_max - m_new)
-                   + jnp.sum(jnp.exp(z - m_new[:, :, None]), axis=-1))
-        return (m_new, run_sum), None
+        return lse_chunk_update(run_max, run_sum, z), None
 
     init = (jnp.full((Q, T), NEG_INF), jnp.zeros((Q, T), jnp.float32))
     (run_max, run_sum), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))

@@ -118,16 +118,19 @@ def train(
 
     jlog = JsonlLogger(os.path.join(out_dir, "train_log.jsonl"))
     n_micro = max(tcfg.steps_per_call, 1)
-    # Guard against silently training nothing: an epoch yields
-    # num_instances // batch_size full batches, and _group_batches drops
-    # incomplete micro-step groups, so a steps_per_call larger than the
-    # epoch's batch count would drop EVERY batch of EVERY epoch.
-    n_batches = dataset.num_instances // tcfg.batch_size
+    # Guard against silently training nothing: iter_batches drops each
+    # SHARD's tail (static shapes), so the true epoch batch count is the
+    # per-shard floor sum — num_instances // batch_size OVERESTIMATES it
+    # (e.g. 2 shards x 96 instances at batch 128 is 0 real batches, not 1)
+    # and _group_batches additionally drops incomplete micro-step groups.
+    n_batches = dataset.num_batches_per_epoch(tcfg.batch_size)
     if n_batches == 0:
         raise ValueError(
-            f"dataset has {dataset.num_instances} instances, fewer than one "
-            f"batch of train.batch_size={tcfg.batch_size}; every epoch would "
-            "train 0 steps — lower train.batch_size")
+            f"dataset yields 0 full batches of train.batch_size="
+            f"{tcfg.batch_size} ({dataset.num_instances} instances spread "
+            f"over {len(dataset.meta['shards'])} shards, tails dropped "
+            "per shard); every epoch would train 0 steps — lower "
+            "train.batch_size or raise data.instances_per_shard")
     if n_micro > n_batches:
         log.warning(
             "steps_per_call=%d exceeds the %d full batches per epoch; "

@@ -128,6 +128,17 @@ class TestEntityLM:
         s = lm.score([[]])
         assert np.all(s == 0.0)
 
+    def test_rank_topics_skips_all_oov_topics(self):
+        """An all-OOV topic (empty encoding) gets an EMPTY result list —
+        matching score_topics — instead of k arbitrary zero-scored
+        entities that would pollute the run and any fusion."""
+        stats = _build([([0], [0, 1]), ([1], [1])], 2, 2)
+        lm = EntityLM(stats)
+        run = lm.rank_topics({"dead": [], "live": [0]},
+                             ["e0", "e1"], k=2)
+        assert run["dead"] == []
+        assert len(run["live"]) == 2 and run["live"][0][0] == "e0"
+
     def test_invalid_params(self):
         stats = _build([([0], [0])], 1, 1)
         with pytest.raises(ValueError):

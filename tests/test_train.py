@@ -328,6 +328,34 @@ class TestLoop:
         with pytest.raises(ValueError, match="train 0 steps"):
             train(recipe, ds, str(tmp_path / "run"))
 
+    def test_batch_size_larger_than_every_shard_rejected(self, tmp_path):
+        """Regression: iter_batches drops each SHARD's tail, so a batch size
+        that exceeds every shard (but not the total instance count) also
+        yields 0 batches — the guard must count per-shard floors, not
+        num_instances // batch_size."""
+        import dataclasses
+        col = make_synthetic(num_entities=7, vocab_size=200,
+                             docs_per_entity=4, doc_len=50, num_topics=4)
+        reg = EntityRegistry(col.entities)
+        assoc = Associations()
+        for d, es in col.doc_entities.items():
+            for e in es:
+                assoc.add(d, reg.id(e))
+        ddir = str(tmp_path / "data")
+        prepare(col.docs, assoc, reg, ddir,
+                DataConfig(window_size=4, vocab_min_count=1,
+                           instances_per_shard=96))
+        ds = InstanceDataset(ddir)
+        assert len(ds.meta["shards"]) >= 2
+        # Between one shard and the total: old guard saw >= 1 batch, the
+        # real epoch yields none.
+        tcfg = dataclasses.replace(TCFG, batch_size=120)
+        assert ds.num_instances // tcfg.batch_size >= 1
+        assert ds.num_batches_per_epoch(tcfg.batch_size) == 0
+        recipe = RecipeConfig(name="z2", model=MCFG, train=tcfg)
+        with pytest.raises(ValueError, match="train 0 steps"):
+            train(recipe, ds, str(tmp_path / "run"))
+
     def test_epoch_snapshots_written(self, tmp_path):
         ds, _ = _prepared_dataset(tmp_path)
         recipe = RecipeConfig(name="t", model=MCFG, train=TCFG)

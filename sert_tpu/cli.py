@@ -303,6 +303,10 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.cmd == "report":
         recipe = _load_recipe(args.recipe)
+        if not 0.0 <= args.fuse_weight <= 1.0:
+            raise SystemExit(f"--fuse-weight {args.fuse_weight} out of "
+                             "[0, 1]: it is the semantic model's share of "
+                             "the interpolation (the LM gets 1 - w)")
         from sert_tpu.eval.report import (build_ranker_runs, format_markdown,
                                           ranker_report)
         from sert_tpu.eval.trec import read_qrels, read_topics
@@ -348,6 +352,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.cmd == "fuse":
         from sert_tpu.eval.fuse import fuse_runs
         from sert_tpu.eval.trec import read_run, write_run
+        if len(args.runs) < 2:
+            raise SystemExit("fuse needs two or more run files (got "
+                             f"{len(args.runs)}); a single 'fused' run "
+                             "would just be a renormalized copy")
         runs = [read_run(p) for p in args.runs]
         fused = fuse_runs(runs, weights=args.weights, method=args.method,
                           norm=args.norm, rrf_k=args.rrf_k, k=args.k)

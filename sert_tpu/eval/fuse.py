@@ -7,8 +7,8 @@ rank-based alternative that needs no score calibration.
 
 Methods:
   interp: score = sum_i w_i * norm(score_i), per topic. Documents missing
-          from a run contribute that run's per-topic minimum (rank-safe
-          neutral value under minmax; configurable normalization).
+          from a run contribute that run's floor: 0.0 under minmax (the
+          normalized minimum), the per-topic minimum otherwise.
   rrf:    score = sum_i w_i / (rrf_k + rank_i), unretrieved documents
           contribute 0 (Cormack et al., the standard convention).
 """
@@ -23,20 +23,30 @@ Run = Mapping[str, Sequence[Tuple[str, float]]]
 
 
 def _normalize(entries: Sequence[Tuple[str, float]],
-               how: str) -> Dict[str, float]:
+               how: str) -> Tuple[Dict[str, float], float]:
+    """(normalized scores, floor for documents this run did NOT retrieve).
+
+    All-equal scores carry no ORDERING information but retrieval itself is
+    evidence: under minmax they map to 1.0 with floor 0.0 (not all-zeros,
+    which would tie every retrieved doc with every unretrieved one and
+    silently discard the run's contribution for that topic — the LM ranker
+    produces legitimately-tied topics). minmax's floor is always 0.0, the
+    normalized minimum; zscore/none keep the per-topic minimum as floor."""
     docs = [d for d, _ in entries]
     s = np.asarray([v for _, v in entries], np.float64)
-    if how == "none" or len(s) == 0:
-        return dict(zip(docs, s.tolist()))
+    if len(s) == 0:
+        return {}, 0.0
+    if how == "none":
+        return dict(zip(docs, s.tolist())), float(s.min())
     if how == "minmax":
         lo, hi = s.min(), s.max()
-        s = (s - lo) / (hi - lo) if hi > lo else np.zeros_like(s)
-    elif how == "zscore":
+        s = (s - lo) / (hi - lo) if hi > lo else np.ones_like(s)
+        return dict(zip(docs, s.tolist())), 0.0
+    if how == "zscore":
         sd = s.std()
         s = (s - s.mean()) / sd if sd > 0 else np.zeros_like(s)
-    else:
-        raise ValueError(f"unknown normalization {how!r}")
-    return dict(zip(docs, s.tolist()))
+        return dict(zip(docs, s.tolist())), float(s.min())
+    raise ValueError(f"unknown normalization {how!r}")
 
 
 def fuse_runs(runs: Sequence[Run], weights: Sequence[float] = None,
@@ -68,8 +78,9 @@ def fuse_runs(runs: Sequence[Run], weights: Sequence[float] = None,
                 for rank, (doc, _) in enumerate(order, start=1):
                     acc[doc] = acc.get(doc, 0.0) + w / (rrf_k + rank)
         else:
-            per_run = [_normalize(run.get(topic, ()), norm) for run in runs]
-            floors = [min(s.values()) if s else 0.0 for s in per_run]
+            normed = [_normalize(run.get(topic, ()), norm) for run in runs]
+            per_run = [s for s, _ in normed]
+            floors = [f for _, f in normed]
             for doc in set().union(*per_run):
                 acc[doc] = sum(w * s.get(doc, f) for s, f, w
                                in zip(per_run, floors, weights))

@@ -44,7 +44,8 @@ def build_ranker_runs(recipe, data_dir: str, run_dir: Optional[str],
     from sert_tpu.data.assoc import EntityRegistry
     from sert_tpu.data.instances import InstanceDataset
     from sert_tpu.data.lm_stats import LM_STATS_NAME, LMStats
-    from sert_tpu.data.prepare import ENTITIES_NAME, encode_queries
+    from sert_tpu.data.prepare import (ENTITIES_NAME, VOCAB_NAME,
+                                       encode_queries)
     from sert_tpu.data.vocab import Vocabulary
     from sert_tpu.models.lm import EntityLM
 
@@ -67,7 +68,7 @@ def build_ranker_runs(recipe, data_dir: str, run_dir: Optional[str],
         runs["model"] = score_topics(params, resolved.model, encoded,
                                      registry.names, resolved.score)
     else:
-        vocab = Vocabulary.load(os.path.join(data_dir, "vocab.json"))
+        vocab = Vocabulary.load(os.path.join(data_dir, VOCAB_NAME))
         registry = EntityRegistry.load(os.path.join(data_dir, ENTITIES_NAME))
         encoded = encode_queries(dict(topics), vocab, resolved.data)
 

@@ -49,8 +49,11 @@ class EntityLM:
         ln = s.entity_len[lo:hi].astype(np.float64)
         ents, cnts = s.term_column(term_id)
         tf = np.zeros(hi - lo, np.float64)
-        sel = (ents >= lo) & (ents < hi)
-        tf[ents[sel] - lo] = cnts[sel]
+        # The column's entity ids ascend (stable sort of CSR order), so the
+        # chunk's hits are one searchsorted slice — not an O(nnz) boolean
+        # scan per chunk, which made frequent terms O(n_chunks * nnz).
+        a, b = np.searchsorted(ents, (lo, hi))
+        tf[ents[a:b] - lo] = cnts[a:b]
         if self.smoothing == "dirichlet":
             return np.log(tf + self.mu * p_c) - np.log(ln + self.mu)
         # jm; entities with no text fall back to the background model alone.
@@ -117,12 +120,18 @@ class EntityLM:
                     chunk: int = 1 << 16) -> Dict[str, List[Tuple[str, float]]]:
         """Run-file dict {topic: [(entity, score) ...]} like score_topics.
 
-        Topics whose encoding is empty (every term OOV) come back as empty
-        lists, matching scoring/run.py's semantics — emitting k
-        arbitrary zero-scored entities would add pure noise to the run and
-        skew any fusion against the semantic ranker."""
+        Topics with no scoreable term come back as empty lists, matching
+        scoring/run.py's semantics — emitting k arbitrary zero-scored
+        entities would add pure noise to the run and skew any fusion
+        against the semantic ranker. "No scoreable term" covers both empty
+        encodings (every term OOV) and terms that are in-vocab but absent
+        from the LM collection (the vocabulary is built from ALL documents;
+        the statistics only from associated ones), which the scorer skips
+        and which would otherwise leave the topic at a constant 0."""
         tids = list(encoded.keys())
-        live = [t for t in tids if len(encoded[t])]
+        cc = self.stats.collection_counts
+        live = [t for t in tids
+                if any(cc[int(term)] > 0 for term in encoded[t])]
         run: Dict[str, List[Tuple[str, float]]] = {t: [] for t in tids}
         if live:
             scores, idx = self.topk([encoded[t] for t in live], k=k,

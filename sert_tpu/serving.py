@@ -76,6 +76,10 @@ class EntitySearcher:
             from sert_tpu.scoring.run import stage_distributed
             self.prep = stage_distributed(self.params, self.recipe.model,
                                           self.score_cfg)
+            # Drop the pre-placement copy: score_topics only ever uses the
+            # staged params on this path, and keeping both doubles HBM for
+            # exactly the matrices the distributed engine exists for.
+            self.params = self.prep.params
         # Warm-up dispatch: compile happens here, not on the first query.
         self._score({"_warmup": self.vocab.encode(["warmup"])})
 

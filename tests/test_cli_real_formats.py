@@ -281,6 +281,33 @@ class TestRealFormatPipeline:
         assert len(oov) == 1 and oov[0].startswith("q2\t")
         assert not any(l.startswith("never") for l in out)
 
+    def test_searcher_distributed_engine_staged_once(self, workdir):
+        """EntitySearcher on a distributed-engine recipe: the mesh staging
+        happens at load time (DistStaged prep, pre-placed params) and
+        results match the default single-chip engine."""
+        import dataclasses
+
+        from sert_tpu.scoring.run import DistStaged
+        from sert_tpu.serving import EntitySearcher
+        from sert_tpu.utils.config import load_recipe
+
+        root = str(workdir)
+        recipe = load_recipe(os.path.join(root, "recipe.json"))
+        dist = dataclasses.replace(recipe, score=dataclasses.replace(
+            recipe.score, engine="distributed", mesh_shape=(2, 4),
+            query_batch=2))
+        s_dist = EntitySearcher(dist, os.path.join(root, "data"),
+                                os.path.join(root, "run"), k=5)
+        assert isinstance(s_dist.prep, DistStaged)
+        # the pre-placement copy is dropped (no doubled HBM)
+        assert s_dist.params is s_dist.prep.params
+        s_ref = EntitySearcher(recipe, os.path.join(root, "data"),
+                               os.path.join(root, "run"), k=5)
+        q = " ".join(EXPERTS[4]["sig"])
+        got = s_dist.search(q)
+        want = s_ref.search(q)
+        assert [n for n, _ in got] == [n for n, _ in want]
+
     def test_serve_http_api(self, workdir):
         """serve --http: the stdlib JSON API answers /healthz and /search
         (GET and POST), degrades gracefully on OOV, 400s on missing query,

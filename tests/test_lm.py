@@ -128,6 +128,18 @@ class TestEntityLM:
         s = lm.score([[]])
         assert np.all(s == 0.0)
 
+    def test_rank_topics_skips_collection_absent_terms(self):
+        """A topic whose terms are in-vocab but appear in NO associated
+        document (vocab covers ALL docs; lm stats only associated ones)
+        scores a constant 0 everywhere — it must come back empty, not as
+        k arbitrary entities."""
+        stats = _build([([0], [0, 1]), ([1], [1])], 2, 3)  # term 2 unseen
+        assert stats.collection_counts[2] == 0
+        lm = EntityLM(stats)
+        run = lm.rank_topics({"dead": [2], "live": [0]}, ["e0", "e1"], k=2)
+        assert run["dead"] == []
+        assert run["live"][0][0] == "e0"
+
     def test_rank_topics_skips_all_oov_topics(self):
         """An all-OOV topic (empty encoding) gets an EMPTY result list —
         matching score_topics — instead of k arbitrary zero-scored
@@ -176,6 +188,20 @@ class TestFusion:
         fused = fuse_runs([self.RUN_A, self.RUN_B], weights=[1.0, 0.0])
         order = [d for d, _ in fused["q1"]]
         assert order[:3] == ["e1", "e2", "e3"]
+
+    def test_interp_all_equal_scores_keep_retrieval_evidence(self):
+        """A topic where one run's scores all tie must still count that
+        run's retrieved-vs-unretrieved evidence: ties normalize to 1.0
+        under minmax (floor 0.0), not to all-zeros indistinguishable from
+        unretrieved documents."""
+        a = {"q1": [("e1", 5.0), ("e2", 5.0)]}          # all-equal
+        b = {"q1": [("e2", 2.0), ("e3", 1.0)]}
+        fused = fuse_runs([a, b], weights=[0.5, 0.5], method="interp")
+        got = dict(fused["q1"])
+        assert got["e1"] == pytest.approx(0.5 * 1.0 + 0.5 * 0.0)
+        assert got["e2"] == pytest.approx(0.5 * 1.0 + 0.5 * 1.0)
+        # e1 (retrieved by a) strictly beats e3 (a's floor + b's min)
+        assert got["e1"] > got["e3"]
 
     def test_topic_union_and_truncation(self):
         a = {"q1": [("e1", 1.0)]}
@@ -247,6 +273,10 @@ class TestPrepareIntegration:
         with pytest.raises(SystemExit):
             cli.main(["query", "--recipe", recipe.name, "--data", data,
                       "--topics", topics_path, "--out", run_lm])
+
+        # fusing a single run is a clean error, not a renormalized copy
+        with pytest.raises(SystemExit, match="two or more"):
+            cli.main(["fuse", "--runs", run_lm, "--out", fused])
 
     def test_build_lm_stats_off(self, tmp_path):
         import dataclasses

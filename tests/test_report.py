@@ -77,3 +77,10 @@ class TestReportCLI:
         text = open(out).read()
         assert "| lm (baseline) |" in text
         assert "| model |" not in text   # nothing trained
+
+        # out-of-range interpolation weight is a clean error, not a
+        # silently negative-weighted table
+        with pytest.raises(SystemExit, match="fuse-weight"):
+            cli.main(["report", "--recipe", recipe.name, "--data", data,
+                      "--topics", topics_path, "--qrels", qrels_path,
+                      "--fuse-weight", "1.5"])

@@ -113,8 +113,12 @@ def prepare(
                           items, cfg, vocab.term_to_id, cfg.num_workers))
         elif native_text is not None:
             nv = native_text.make_vocab(list(vocab.iter_terms()), **tok_opts)
-            stream = ((doc_id, assoc.entities_for(doc_id),
-                       nv.encode(text).tolist()) for doc_id, text in items)
+            # Keep nv.encode's int32 ndarray as-is: a .tolist() here boxed
+            # every id into a Python int only for the consumer to re-parse
+            # it with np.asarray — O(tokens) waste per doc on exactly the
+            # path the C++ tier accelerates.
+            stream = ((doc_id, assoc.entities_for(doc_id), nv.encode(text))
+                      for doc_id, text in items)
         else:
             stream = ((doc_id, assoc.entities_for(doc_id),
                        vocab.encode(_tok(text, cfg)))
@@ -147,7 +151,7 @@ def prepare(
             buf_tok, buf_ent, doc_off, ent_off = [], [], [0], [0]
 
         for doc_id, ents, token_ids in encoded_docs():
-            if not token_ids:
+            if len(token_ids) == 0:   # len(), not truthiness: ndarray or list
                 continue
             buf_tok.append(np.asarray(token_ids, np.int32))
             buf_ent.append(np.asarray(ents, np.int32))

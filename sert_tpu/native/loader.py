@@ -225,6 +225,10 @@ def maybe_load() -> Optional[_NativeWindows]:
         return None
     try:
         _cached = _NativeWindows(ctypes.CDLL(path))
-    except OSError:
+    except (OSError, AttributeError):
+        # OSError: unloadable .so. AttributeError: a loadable library
+        # missing expected symbols (stale/partial build, or a same-named
+        # foreign library) — the graceful-fallback contract covers both;
+        # the numpy path takes over.
         _cached = None
     return _cached

@@ -35,6 +35,16 @@ class DataConfig:
     # without a second corpus pass.
     build_lm_stats: bool = True
 
+    def __post_init__(self):
+        # Validate here, not downstream: the native window sweep divides by
+        # stride in C++ where stride=0 is an uncatchable SIGFPE, and the
+        # numpy path would diverge (ValueError vs reversed windows) — a bad
+        # recipe JSON must fail at load, identically on both paths.
+        if self.window_size < 1:
+            raise ValueError(f"window_size must be >= 1, got {self.window_size}")
+        if self.stride < 1:
+            raise ValueError(f"stride must be >= 1, got {self.stride}")
+
 
 @dataclass(frozen=True)
 class ModelConfig:

@@ -169,3 +169,36 @@ class TestNativeParity:
         bb, _ = next(b.iter_batches(32, epoch=0))
         np.testing.assert_array_equal(ba["windows"], bb["windows"])
         np.testing.assert_array_equal(ba["entities"], bb["entities"])
+
+
+class TestSourceSync:
+    def test_stopword_lists_identical(self):
+        """kStopwords in text.cc must equal tokenize.STOPWORDS exactly — an
+        edit to either list would silently desynchronize the native and
+        Python tokenizers (the parity tests' generated vocabularies contain
+        few stopwords, so they would stay green)."""
+        import re
+
+        from sert_tpu.data.tokenize import STOPWORDS
+        src = open(os.path.join(os.path.dirname(loader.lib_path()),
+                                "text.cc")).read()
+        m = re.search(r"kStopwords\[\]\s*=\s*\{(.*?)\};", src, re.S)
+        assert m, "kStopwords array not found in text.cc"
+        cc_words = set(re.findall(r'"((?:[^"\\]|\\.)*)"', m.group(1)))
+        cc_words = {w.replace("\\'", "'") for w in cc_words}
+        assert cc_words == set(STOPWORDS), (
+            sorted(cc_words ^ set(STOPWORDS)))
+
+
+class TestConfigValidation:
+    def test_bad_stride_rejected_at_config(self):
+        """stride=0 must fail at DataConfig construction: the native sweep
+        divides by stride in C++ (uncatchable SIGFPE) and the numpy path
+        diverges — neither may ever see it."""
+        from sert_tpu.utils.config import DataConfig
+        with pytest.raises(ValueError, match="stride"):
+            DataConfig(stride=0)
+        with pytest.raises(ValueError, match="stride"):
+            DataConfig(stride=-1)
+        with pytest.raises(ValueError, match="window_size"):
+            DataConfig(window_size=0)

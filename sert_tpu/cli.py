@@ -258,21 +258,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         ds = InstanceDataset(args.data)
         resolved = pipeline.resolve_model_config(recipe, ds.meta)
         if args.ranker == "lm":
-            from sert_tpu.data.assoc import EntityRegistry
-            from sert_tpu.data.lm_stats import LM_STATS_NAME, LMStats
-            from sert_tpu.data.prepare import ENTITIES_NAME, VOCAB_NAME
-            from sert_tpu.data.vocab import Vocabulary
-            from sert_tpu.models.lm import EntityLM
-            stats_path = os.path.join(args.data, LM_STATS_NAME)
-            if not os.path.exists(stats_path):
-                raise SystemExit(
-                    f"{stats_path} not found — re-run prepare with "
-                    f"data.build_lm_stats=true (the default)")
-            vocab = Vocabulary.load(os.path.join(args.data, VOCAB_NAME))
-            registry = EntityRegistry.load(
-                os.path.join(args.data, ENTITIES_NAME))
-            lm = EntityLM(LMStats.load(stats_path),
-                          smoothing=args.smoothing, mu=args.mu, lam=args.lam)
+            from sert_tpu.models.lm import load_lm
+            try:
+                lm, vocab, registry = load_lm(args.data,
+                                              smoothing=args.smoothing,
+                                              mu=args.mu, lam=args.lam)
+            except (FileNotFoundError, ValueError) as e:
+                raise SystemExit(str(e))
             topics = read_topics(args.topics)
             encoded = encode_queries(topics, vocab, resolved.data)
             run = lm.rank_topics(encoded, registry.names,
@@ -312,10 +304,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         from sert_tpu.eval.trec import read_qrels, read_topics
         topics = read_topics(args.topics)
         qrels = read_qrels(args.qrels)
-        runs = build_ranker_runs(recipe, args.data, args.run_dir, topics,
-                                 step=args.step, fuse_weight=args.fuse_weight,
-                                 smoothing=args.smoothing, mu=args.mu,
-                                 lam=args.lam)
+        try:
+            runs = build_ranker_runs(recipe, args.data, args.run_dir,
+                                     topics, step=args.step,
+                                     fuse_weight=args.fuse_weight,
+                                     smoothing=args.smoothing, mu=args.mu,
+                                     lam=args.lam)
+        except (FileNotFoundError, ValueError) as e:
+            # Predictable user errors (no checkpoint in --run-dir, stats
+            # missing, vocab-hash mismatch) exit cleanly like query does.
+            raise SystemExit(str(e))
         report = ranker_report(runs, qrels)
         if args.json:
             text = json.dumps(report, indent=2, sort_keys=True)
@@ -357,8 +355,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                              f"{len(args.runs)}); a single 'fused' run "
                              "would just be a renormalized copy")
         runs = [read_run(p) for p in args.runs]
-        fused = fuse_runs(runs, weights=args.weights, method=args.method,
-                          norm=args.norm, rrf_k=args.rrf_k, k=args.k)
+        try:
+            fused = fuse_runs(runs, weights=args.weights, method=args.method,
+                              norm=args.norm, rrf_k=args.rrf_k, k=args.k)
+        except ValueError as e:   # e.g. --weights count mismatch
+            raise SystemExit(str(e))
         write_run(fused, args.out, tag=f"fused_{args.method}")
         print(f"fused {len(runs)} runs ({args.method}) over "
               f"{len(fused)} topics to {args.out}")

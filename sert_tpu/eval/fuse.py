@@ -27,11 +27,13 @@ def _normalize(entries: Sequence[Tuple[str, float]],
     """(normalized scores, floor for documents this run did NOT retrieve).
 
     All-equal scores carry no ORDERING information but retrieval itself is
-    evidence: under minmax they map to 1.0 with floor 0.0 (not all-zeros,
-    which would tie every retrieved doc with every unretrieved one and
-    silently discard the run's contribution for that topic — the LM ranker
-    produces legitimately-tied topics). minmax's floor is always 0.0, the
-    normalized minimum; zscore/none keep the per-topic minimum as floor."""
+    evidence: they map to 1.0 with floor 0.0 under BOTH minmax and zscore
+    (not all-zeros, which would tie every retrieved doc with every
+    unretrieved one and silently discard the run's contribution for that
+    topic — the LM ranker produces legitimately-tied topics; a degenerate
+    topic has no scale for zscore to preserve anyway). minmax's floor is
+    always 0.0, the normalized minimum; zscore/none keep the per-topic
+    minimum as floor."""
     docs = [d for d, _ in entries]
     s = np.asarray([v for _, v in entries], np.float64)
     if len(s) == 0:
@@ -44,7 +46,9 @@ def _normalize(entries: Sequence[Tuple[str, float]],
         return dict(zip(docs, s.tolist())), 0.0
     if how == "zscore":
         sd = s.std()
-        s = (s - s.mean()) / sd if sd > 0 else np.zeros_like(s)
+        if sd == 0:
+            return dict(zip(docs, np.ones_like(s).tolist())), 0.0
+        s = (s - s.mean()) / sd
         return dict(zip(docs, s.tolist())), float(s.min())
     raise ValueError(f"unknown normalization {how!r}")
 

@@ -21,7 +21,6 @@ CLI: ``python -m sert_tpu report ...`` (markdown to stdout or --out).
 
 from __future__ import annotations
 
-import os
 from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 
 from sert_tpu.eval.fuse import fuse_runs
@@ -41,21 +40,14 @@ def build_ranker_runs(recipe, data_dir: str, run_dir: Optional[str],
     lexical LM gets ``1 - fuse_weight``). With ``run_dir=None`` only the
     lm ranker runs (nothing trained to compare)."""
     from sert_tpu import pipeline
-    from sert_tpu.data.assoc import EntityRegistry
     from sert_tpu.data.instances import InstanceDataset
-    from sert_tpu.data.lm_stats import LM_STATS_NAME, LMStats
-    from sert_tpu.data.prepare import (ENTITIES_NAME, VOCAB_NAME,
-                                       encode_queries)
-    from sert_tpu.data.vocab import Vocabulary
-    from sert_tpu.models.lm import EntityLM
+    from sert_tpu.data.prepare import encode_queries
+    from sert_tpu.models.lm import load_lm
 
     ds = InstanceDataset(data_dir)
     resolved = pipeline.resolve_model_config(recipe, ds.meta)
-    stats_path = os.path.join(data_dir, LM_STATS_NAME)
-    if not os.path.exists(stats_path):
-        raise FileNotFoundError(
-            f"{stats_path} not found — re-run prepare with "
-            f"data.build_lm_stats=true (the default)")
+    lm, vocab, registry = load_lm(data_dir, smoothing=smoothing, mu=mu,
+                                  lam=lam)
 
     runs: Dict[str, Run] = {}
     k = resolved.score.top_k
@@ -64,16 +56,12 @@ def build_ranker_runs(recipe, data_dir: str, run_dir: Optional[str],
         from sert_tpu.scoring.run import score_topics
         params, vocab, registry = pipeline.load_scorer(
             run_dir, data_dir, resolved, step=step)
-        encoded = encode_queries(dict(topics), vocab, resolved.data)
-        runs["model"] = score_topics(params, resolved.model, encoded,
-                                     registry.names, resolved.score)
-    else:
-        vocab = Vocabulary.load(os.path.join(data_dir, VOCAB_NAME))
-        registry = EntityRegistry.load(os.path.join(data_dir, ENTITIES_NAME))
-        encoded = encode_queries(dict(topics), vocab, resolved.data)
+        runs["model"] = score_topics(
+            params, resolved.model,
+            encode_queries(dict(topics), vocab, resolved.data),
+            registry.names, resolved.score)
 
-    lm = EntityLM(LMStats.load(stats_path), smoothing=smoothing,
-                  mu=mu, lam=lam)
+    encoded = encode_queries(dict(topics), vocab, resolved.data)
     runs["lm"] = lm.rank_topics(encoded, registry.names, k=k)
 
     if "model" in runs:

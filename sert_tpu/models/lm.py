@@ -23,7 +23,30 @@ from typing import Dict, List, Mapping, Sequence, Tuple
 
 import numpy as np
 
-from sert_tpu.data.lm_stats import LMStats
+from sert_tpu.data.lm_stats import LM_STATS_NAME, LMStats
+
+
+def load_lm(data_dir: str, smoothing: str = "dirichlet", mu: float = 2000.0,
+            lam: float = 0.5):
+    """(EntityLM, Vocabulary, EntityRegistry) from a prepared data dir — the
+    one loader for every LM surface (query --ranker lm, report) so the
+    stats filename, error message, and defaults cannot drift between them."""
+    import os
+
+    from sert_tpu.data.assoc import EntityRegistry
+    from sert_tpu.data.prepare import ENTITIES_NAME, VOCAB_NAME
+    from sert_tpu.data.vocab import Vocabulary
+
+    stats_path = os.path.join(data_dir, LM_STATS_NAME)
+    if not os.path.exists(stats_path):
+        raise FileNotFoundError(
+            f"{stats_path} not found — re-run prepare with "
+            f"data.build_lm_stats=true (the default)")
+    vocab = Vocabulary.load(os.path.join(data_dir, VOCAB_NAME))
+    registry = EntityRegistry.load(os.path.join(data_dir, ENTITIES_NAME))
+    lm = EntityLM(LMStats.load(stats_path), smoothing=smoothing, mu=mu,
+                  lam=lam)
+    return lm, vocab, registry
 
 
 class EntityLM:

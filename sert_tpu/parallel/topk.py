@@ -192,6 +192,16 @@ def _shard_body(R, term_emb, mask, M_shard, bias_shard, *prep_arrays,
     return top_s, top_i
 
 
+def resolve_local_engine(local_engine: str) -> str:
+    """'auto' -> the per-shard engine for the current backend. The ONE
+    resolver shared by distributed_topk and scoring.run.stage_distributed —
+    if they resolved independently, the serve path could stage prep for a
+    different engine than direct calls sweep with."""
+    if local_engine == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "binmax"
+    return local_engine
+
+
 def prepare_distributed(params, cfg: ModelConfig, mesh: Mesh,
                         similarity: str = "dot", te: int = 4096,
                         rescore_dtype: str = "float32",
@@ -240,9 +250,7 @@ def distributed_topk(params, cfg: ModelConfig, term_ids: jax.Array,
     algorithm in partitionable XLA, O(Q * E/n_shards) transient) or "scan"
     (fixed-memory chunked sweep with per-chunk top-k merges).
     """
-    if local_engine == "auto":
-        local_engine = ("pallas" if jax.default_backend() == "tpu"
-                        else "binmax")
+    local_engine = resolve_local_engine(local_engine)
     E = api.entity_matrix(params, cfg).shape[0]
     k = min(k, E)
     n_model = mesh.shape["model"]

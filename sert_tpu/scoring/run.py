@@ -55,13 +55,11 @@ def stage_distributed(params, cfg: ModelConfig, sc: ScoreConfig) -> DistStaged:
     for repeated ``engine="distributed"`` calls."""
     from sert_tpu.parallel.mesh import make_mesh
     from sert_tpu.parallel.sharding import state_shardings
+    from sert_tpu.parallel.topk import resolve_local_engine
     mesh = make_mesh(sc.mesh_shape)
     sh = state_shardings(params, mesh, cfg)
     params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, sh)
-    local_engine = sc.local_engine
-    if local_engine == "auto":
-        local_engine = ("pallas" if jax.default_backend() == "tpu"
-                        else "binmax")
+    local_engine = resolve_local_engine(sc.local_engine)
     prep = None
     if local_engine == "pallas":
         from sert_tpu.parallel.topk import prepare_distributed

@@ -224,7 +224,11 @@ class _Handler(BaseHTTPRequestHandler):
             query = req.get("query") or req.get("q") or ""
             queries = req.get("queries")
             k = req.get("k")
-            k = int(k) if k is not None else None
+            # bool is an int subclass; floats are rejected, matching the
+            # GET path's "k must be an integer" instead of int(2.5) -> 2.
+            if k is not None and (isinstance(k, bool)
+                                  or not isinstance(k, int)):
+                raise ValueError("k must be an integer")
         except (ValueError, json.JSONDecodeError) as e:
             self._reply(400, {"error": f"bad request body: {e}"})
             return

@@ -131,6 +131,37 @@ def loss_full_softmax(params: Params, batch, cfg: ModelConfig,
     return jnp.mean(lse - gold)
 
 
+def fold_in_entity(params: Params, token_ids, cfg: ModelConfig,
+                   window_size: int = 16) -> jax.Array:
+    """[d_e] embedding for an UNSEEN entity from its raw encoded text.
+
+    LSE's projection f maps any word window into the entity space (the
+    CIKM 2016 paper projects queries and documents with the same f); a new
+    entity is represented as the mean of f over sliding windows of its
+    associated text — the same f-input distribution training used. This is
+    how serving adds entities without retraining (EntitySearcher
+    .add_entities). Log-linear has no analogue: candidates exist only as
+    learned columns of the projection matrix.
+    """
+    import numpy as np
+
+    ids = np.asarray(token_ids, np.int32)
+    if ids.size == 0:
+        raise ValueError("fold_in_entity needs at least one in-vocab token")
+    n = int(ids.size)
+    if n <= window_size:
+        windows = ids[None, :]
+        lengths = np.asarray([n], np.int32)
+    else:
+        n_win = n - window_size + 1
+        windows = np.lib.stride_tricks.sliding_window_view(ids, window_size)
+        windows = np.ascontiguousarray(windows[:n_win])
+        lengths = np.full(n_win, window_size, np.int32)
+    reps = window_rep(params, jnp.asarray(windows), jnp.asarray(lengths),
+                      cfg)                                           # [W, de]
+    return jnp.mean(reps, axis=0)
+
+
 def query_scores(params: Params, term_ids: jax.Array, num_terms: jax.Array,
                  cfg: ModelConfig, similarity: str = "dot") -> jax.Array:
     """[E] scores: project the whole query as one window, then dot/cosine

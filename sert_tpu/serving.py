@@ -7,7 +7,9 @@ once, answer free-text queries repeatedly with no per-query compile or
 re-staging. This module provides that as
 
   * :class:`EntitySearcher` — the load/stage/warmup lifecycle plus a
-    thread-safe ``search(text)``;
+    thread-safe ``search(text)``; for LSE models, ``add_entities`` folds
+    NEW entities into the live index without retraining (the projection
+    f applies to any text — models.lse.fold_in_entity);
   * :func:`serve_stdin` — the reference-style interactive loop
     (one query per line, ranked entities out), used by ``serve``;
   * :func:`make_http_server` — a dependency-free JSON HTTP API on the
@@ -80,6 +82,13 @@ class EntitySearcher:
             # staged params on this path, and keeping both doubles HBM for
             # exactly the matrices the distributed engine exists for.
             self.params = self.prep.params
+        # Folded-in entities (LSE only): names + vectors appended at serve
+        # time without retraining; scored densely per query (n stays small)
+        # and merged into the staged engine's top-k.
+        self._extra_names: List[str] = []
+        self._extra_vecs = None      # np.ndarray [n, d_e] or None
+        self._extra_spans = None     # np.ndarray [n, 2]: (floor, top)
+        self.data_dir = data_dir
         # Warm-up dispatch: compile happens here, not on the first query.
         self._score({"_warmup": self.vocab.encode(["warmup"])})
 
@@ -104,7 +113,7 @@ class EntitySearcher:
             return None
         with self._lock:
             run = self._score({"q": ids})
-        return run["q"][:self._clamp_k(k)]
+        return self._merge_extra(ids, run["q"], self._clamp_k(k))
 
     def search_many(self, texts: List[str], k: Optional[int] = None
                     ) -> List[Optional[List[Tuple[str, float]]]]:
@@ -122,8 +131,132 @@ class EntitySearcher:
             with self._lock:
                 run = self._score(live)
         kk = self._clamp_k(k)
-        return [run[str(i)][:kk] if str(i) in run else None
+        return [self._merge_extra(encoded[str(i)], run[str(i)], kk)
+                if str(i) in run else None
                 for i in range(len(texts))]
+
+    # -- fold-in: add entities at serve time (LSE only) ----------------------
+
+    def add_entities(self, items: List[Tuple[str, str]]) -> int:
+        """Fold (name, associated-text) pairs into the live index WITHOUT
+        retraining: each new entity's vector is the mean LSE projection of
+        its text (models.lse.fold_in_entity — the CIKM paper's f applies to
+        any window). Returns the number added. Raises ValueError for
+        log-linear models (candidates exist only as trained columns), for
+        duplicate names, and for text with no in-vocab token.
+
+        Score calibration (measured necessity, not nicety): f-images are
+        mutually far more similar than trained NCE embeddings are to query
+        projections — raw f-cosines of ~0.5 against UNRELATED queries would
+        outrank every trained entity. Each folded entity therefore gets an
+        affine map fitted at add time: its background response (mean
+        f-cosine against reps of random collection-frequency windows) maps
+        to 0 and a perfect match (cosine 1) maps to the trained index's own
+        top score for the entity's text — so a folded twin of a trained
+        entity scores like that entity, and unrelated queries push folded
+        scores to the trained index's noise floor."""
+        import numpy as np
+
+        from sert_tpu.models import lse as lse_model
+
+        if not self.recipe.model.model.startswith("lse"):
+            raise ValueError(
+                "fold-in needs the LSE family: log-linear candidates exist "
+                "only as learned projection columns — retrain to add them")
+        taken = set(self.registry.names) | set(self._extra_names)
+        vecs, names, spans = [], [], []
+        for name, text in items:
+            if name in taken or name in names:
+                raise ValueError(f"entity name {name!r} already indexed")
+            ids = self.encode(text)
+            if not ids:
+                raise ValueError(
+                    f"entity {name!r}: no in-vocab token in its text")
+            v = np.asarray(lse_model.fold_in_entity(
+                self.params, ids, self.recipe.model,
+                window_size=self.recipe.data.window_size))
+            v = v / max(float(np.linalg.norm(v)), 1e-9)
+            floor = float(np.mean(self._background_reps() @ v))
+            # Trained index's response to this entity's own text = what a
+            # trained twin would score; the engine answers under the lock.
+            with self._lock:
+                run = self._score({"_probe": ids})
+            probe = run["_probe"]
+            top = float(probe[0][1]) if probe else 1.0
+            names.append(name)
+            vecs.append(v)
+            spans.append((floor, top))
+        with self._lock:
+            # vecs/spans BEFORE names: entries only append, so a concurrent
+            # reader pairing names[i] with vecs[i]/spans[i] always sees a
+            # consistent prefix.
+            stacked = np.stack(vecs)
+            spn = np.asarray(spans, np.float64)
+            self._extra_vecs = (stacked if self._extra_vecs is None else
+                                np.concatenate([self._extra_vecs, stacked]))
+            self._extra_spans = (spn if self._extra_spans is None else
+                                 np.concatenate([self._extra_spans, spn]))
+            self._extra_names = self._extra_names + names
+        return len(names)
+
+    def _background_reps(self, n_windows: int = 64, seed: int = 0):
+        """[n, d_e] unit reps of random background windows, sampled from
+        the collection term distribution (lm_stats if present, else
+        uniform vocab) — the yardstick for a folded entity's non-match
+        response. Deterministic; computed once."""
+        import numpy as np
+
+        from sert_tpu.models import lse as lse_model
+        if getattr(self, "_bg_reps", None) is None:
+            rng = np.random.default_rng(seed)
+            V = len(self.vocab)
+            w = self.recipe.data.window_size
+            try:
+                from sert_tpu.models.lm import load_lm
+                lm, _, _ = load_lm(self.data_dir)
+                p = lm.stats.collection_counts.astype(np.float64)
+                p = p / p.sum() if p.sum() > 0 else None
+            except (FileNotFoundError, ValueError):
+                p = None
+            wins = rng.choice(V, size=(n_windows, w), p=p).astype(np.int32)
+            reps = np.asarray(lse_model.window_rep(
+                self.params, wins, np.full(n_windows, w, np.int32),
+                self.recipe.model))
+            # np.asarray of a jax array is a read-only view: divide OUT of
+            # place.
+            self._bg_reps = reps / np.maximum(
+                np.linalg.norm(reps, axis=-1, keepdims=True), 1e-9)
+        return self._bg_reps
+
+    @property
+    def num_extra_entities(self) -> int:
+        return len(self._extra_names)
+
+    def _merge_extra(self, ids, hits, kk):
+        """Score the folded-in entities for this query (f-image cosine,
+        affinely calibrated per entity — see add_entities) and merge them
+        into the staged engine's ranked hits."""
+        names, vecs = self._extra_names, self._extra_vecs   # prefix-stable
+        spans = self._extra_spans
+        if not names:
+            return hits[:kk]
+        import numpy as np
+
+        from sert_tpu.models import lse as lse_model
+        t = np.zeros((1, max(len(ids), 1)), np.int32)
+        t[0, :len(ids)] = ids
+        rep = np.asarray(lse_model.window_rep(
+            self.params, t, np.asarray([len(ids)], np.int32),
+            self.recipe.model))[0]
+        rep = rep / max(float(np.linalg.norm(rep)), 1e-9)
+        n = min(len(names), vecs.shape[0], spans.shape[0])
+        cos = vecs[:n] @ rep                                 # [n]
+        floor, top = spans[:n, 0], spans[:n, 1]
+        side = np.maximum(cos - floor, 0.0) / np.maximum(1.0 - floor,
+                                                         1e-9) * top
+        merged = list(hits) + list(zip(names[:n], side.tolist()))
+        merged.sort(key=lambda e: -e[1])
+        return merged[:kk]
 
     def _clamp_k(self, k: Optional[int]) -> int:
         """Requested k -> [1, k_max]; None and non-positive values (a
@@ -191,6 +324,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, {
                 "status": "ok",
                 "entities": self.searcher.num_entities,
+                "extra_entities": self.searcher.num_extra_entities,
                 "model": self.searcher.recipe.model.model,
                 "vocab_size": len(self.searcher.vocab),
                 "k_default": self.searcher.default_k,
@@ -215,6 +349,27 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         url = urlparse(self.path)
+        if url.path == "/entities":
+            # Fold-in: {"entities": [{"name": ..., "text": ...}, ...]}
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                items = req.get("entities")
+                if (not isinstance(items, list) or not items
+                        or not all(isinstance(e, dict) and e.get("name")
+                                   and e.get("text") for e in items)):
+                    raise ValueError(
+                        "'entities' must be a non-empty list of "
+                        "{name, text} objects")
+                added = self.searcher.add_entities(
+                    [(e["name"], e["text"]) for e in items])
+            except (ValueError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+                return
+            self._reply(200, {
+                "added": added,
+                "extra_entities": self.searcher.num_extra_entities})
+            return
         if url.path != "/search":
             self._reply(404, {"error": f"unknown path {url.path!r}"})
             return

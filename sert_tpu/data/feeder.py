@@ -76,6 +76,7 @@ class PrefetchFeeder:
         buffers). Idempotent; no-op in deterministic mode."""
         if self._deterministic:
             return
+        self._finished = True   # any later __iter__ must not block
         self._stop.set()
         try:
             while True:
@@ -95,9 +96,16 @@ class PrefetchFeeder:
             for b in self._batches:
                 yield self._put(b)
             return
+        if getattr(self, "_finished", False):
+            # One-shot, like any generator over an exhausted source: a
+            # second iteration would block forever on a queue the dead
+            # worker will never feed.
+            raise RuntimeError(
+                "PrefetchFeeder is exhausted; construct a new one per epoch")
         while True:
             item = self._q.get()
             if item is self._SENTINEL:
+                self._finished = True
                 if self._err is not None:
                     raise self._err
                 return

@@ -122,7 +122,14 @@ class LMStats:
         return ents[lo:hi], cnts[lo:hi]
 
     def collection_prob(self, term_id: int) -> float:
-        """P(t | collection) with the collection as one long token stream."""
+        """P(t | collection) where the collection is the concatenation of
+        the ENTITY PSEUDO-DOCUMENTS (each document counted once per
+        associated entity, consistent with entity_len/total_tokens) — the
+        background model of the profile corpus the entity LMs are built
+        from, not of the raw document collection. For one-to-one
+        associations the two coincide; in many-to-many collections the
+        pseudo-document background is the self-consistent choice for
+        smoothing the same pseudo-document LMs."""
         if self.total_tokens == 0:
             return 0.0
         return float(self.collection_counts[term_id]) / self.total_tokens

@@ -19,7 +19,7 @@ import os
 from collections import Counter
 from typing import Dict, Iterator, List, Optional, Tuple
 
-from sert_tpu.data.tokenize import tokenize
+from sert_tpu.data.tokenize import tokenize_cfg
 from sert_tpu.utils.config import DataConfig
 
 _WORKER_STATE: dict = {}
@@ -30,11 +30,7 @@ def _init_worker(cfg: DataConfig, vocab_index: Optional[Dict[str, int]]) -> None
     _WORKER_STATE["index"] = vocab_index
 
 
-def _tok(text: str, cfg: DataConfig) -> List[str]:
-    return tokenize(text, lowercase=cfg.lowercase,
-                    filter_stopwords=cfg.filter_stopwords,
-                    min_token_len=cfg.min_token_len,
-                    drop_numeric=cfg.drop_numeric)
+_tok = tokenize_cfg   # shared option plumbing: data.tokenize.config_opts
 
 
 def _count_chunk(texts: List[str]) -> Counter:

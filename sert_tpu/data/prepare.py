@@ -14,7 +14,7 @@ from typing import Dict
 from sert_tpu.data.assoc import Associations, EntityRegistry
 from sert_tpu.data.instances import InstanceWriter
 from sert_tpu.data.lm_stats import LM_STATS_NAME, LMStatsBuilder
-from sert_tpu.data.tokenize import tokenize
+from sert_tpu.data.tokenize import config_opts, tokenize_cfg
 from sert_tpu.data.vocab import Vocabulary
 from sert_tpu.data.windows import extract_windows
 from sert_tpu.utils.config import DataConfig
@@ -27,14 +27,7 @@ ENTITIES_NAME = "entities.json"
 ASSOC_NAME = "assoc.json"
 
 
-def _tok(text: str, cfg: DataConfig):
-    return tokenize(
-        text,
-        lowercase=cfg.lowercase,
-        filter_stopwords=cfg.filter_stopwords,
-        min_token_len=cfg.min_token_len,
-        drop_numeric=cfg.drop_numeric,
-    )
+_tok = tokenize_cfg   # shared option plumbing: data.tokenize.config_opts
 
 
 def prepare(
@@ -62,10 +55,7 @@ def prepare(
     log.info("prepare: pass 1 (vocabulary) over %d docs (workers=%d, "
              "native_text=%s)", len(docs), cfg.num_workers,
              native_text is not None)
-    tok_opts = dict(lowercase=cfg.lowercase,
-                    filter_stopwords=cfg.filter_stopwords,
-                    min_token_len=cfg.min_token_len,
-                    drop_numeric=cfg.drop_numeric)
+    tok_opts = config_opts(cfg)
     if cfg.num_workers > 0:
         from sert_tpu.data.parallel_prepare import parallel_term_counts
         counts = parallel_term_counts(list(docs.values()), cfg,

@@ -37,6 +37,22 @@ _WORD_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9']*")
 _NUM_RE = re.compile(r"^[0-9]+$")
 
 
+def config_opts(cfg) -> dict:
+    """The tokenizer options a DataConfig carries — the ONE mapping shared
+    by the serial, multiprocessing, and native-C++ paths (and the native
+    counter/vocab constructors), so adding an option cannot silently
+    desynchronize the three byte-identical pipelines."""
+    return dict(lowercase=cfg.lowercase,
+                filter_stopwords=cfg.filter_stopwords,
+                min_token_len=cfg.min_token_len,
+                drop_numeric=cfg.drop_numeric)
+
+
+def tokenize_cfg(text: str, cfg) -> List[str]:
+    """tokenize() parameterized by a DataConfig."""
+    return tokenize(text, **config_opts(cfg))
+
+
 def tokenize(
     text: str,
     lowercase: bool = True,

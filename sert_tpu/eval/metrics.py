@@ -107,6 +107,12 @@ def evaluate_run(run: Mapping[str, Iterable[Tuple[str, float]]],
     -c semantics: judged topics always count). ``judged_only`` drops
     unjudged documents from the run before scoring (trec_eval -J).
     """
+    if "all" in qrels:
+        # trec_eval's own reserved summary id; a real topic named "all"
+        # would silently overwrite the macro row and deflate every average.
+        raise ValueError(
+            'topic id "all" is reserved for the macro-average row '
+            "(trec_eval convention); rename the topic in the qrels")
     per_topic: Dict[str, Dict[str, float]] = {}
     for qid, rels in qrels.items():
         entries = run.get(qid, [])

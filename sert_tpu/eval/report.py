@@ -51,17 +51,16 @@ def build_ranker_runs(recipe, data_dir: str, run_dir: Optional[str],
 
     runs: Dict[str, Run] = {}
     k = resolved.score.top_k
-
+    # load_scorer re-validates vocab/registry against the checkpoint; both
+    # loaders return identical objects for one data dir, so encode once.
     if run_dir is not None:
         from sert_tpu.scoring.run import score_topics
         params, vocab, registry = pipeline.load_scorer(
             run_dir, data_dir, resolved, step=step)
-        runs["model"] = score_topics(
-            params, resolved.model,
-            encode_queries(dict(topics), vocab, resolved.data),
-            registry.names, resolved.score)
-
     encoded = encode_queries(dict(topics), vocab, resolved.data)
+    if run_dir is not None:
+        runs["model"] = score_topics(params, resolved.model, encoded,
+                                     registry.names, resolved.score)
     runs["lm"] = lm.rank_topics(encoded, registry.names, k=k)
 
     if "model" in runs:

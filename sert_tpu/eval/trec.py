@@ -66,7 +66,10 @@ def write_run(run: Mapping[str, Iterable[Tuple[str, float]]], path: str,
         for qid in sorted(run):
             entries = sorted(run[qid], key=lambda e: (e[1], e[0]), reverse=True)
             for rank, (docno, score) in enumerate(entries, start=1):
-                fh.write(f"{qid} Q0 {docno} {rank} {score:.6f} {tag}\n")
+                # .17g round-trips float64 exactly: score gaps below 1e-6
+                # (normalized fusions, large-E log-probs) must not collapse
+                # into ties that re-rank by docno after read_run.
+                fh.write(f"{qid} Q0 {docno} {rank} {score:.17g} {tag}\n")
 
 
 def read_run(path: str) -> Dict[str, List[Tuple[str, float]]]:

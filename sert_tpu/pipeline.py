@@ -57,17 +57,19 @@ def load_pretrained_word_emb(npz_path: str, vocab: Vocabulary,
     (``word_emb`` + ``terms`` arrays, as written by the dump CLI). Terms are
     matched by string; vocabulary terms absent from the dump keep their
     fresh initialization. Returns (embeddings, matched_count)."""
-    z = np.load(npz_path, allow_pickle=True)
-    if "word_emb" not in z or "terms" not in z:
-        raise ValueError(f"{npz_path} is not a dump npz (needs word_emb + terms)")
-    emb = np.asarray(z["word_emb"], np.float32)
+    with np.load(npz_path, allow_pickle=True) as z:
+        if "word_emb" not in z or "terms" not in z:
+            raise ValueError(
+                f"{npz_path} is not a dump npz (needs word_emb + terms)")
+        emb = np.asarray(z["word_emb"], np.float32)
+        terms = z["terms"]
     if emb.shape[1] != base_emb.shape[1]:
         raise ValueError(
             f"pretrained word_dim {emb.shape[1]} != model word_dim "
             f"{base_emb.shape[1]}")
     out = np.asarray(base_emb, np.float32).copy()
     hits = 0
-    for i, t in enumerate(z["terms"]):
+    for i, t in enumerate(terms):
         t = str(t)
         if t in vocab:
             out[vocab.id(t)] = emb[i]
@@ -134,10 +136,7 @@ def sweep_checkpoints(recipe: RecipeConfig, data_dir: str, run_dir: str,
     """Evaluate EVERY checkpoint in the run (the reference's per-epoch
     snapshot selection workflow): returns {"per_step": {step: metric},
     "best_step": ..., "best": ...}."""
-    from sert_tpu.data.instances import InstanceDataset
     from sert_tpu.eval.trec import read_qrels, read_topics
-    from sert_tpu.train import checkpoint as ckpt_mod
-    from sert_tpu.train.step import init_state
 
     ds = InstanceDataset(data_dir)
     resolved = resolve_model_config(recipe, ds.meta)
@@ -150,14 +149,14 @@ def sweep_checkpoints(recipe: RecipeConfig, data_dir: str, run_dir: str,
     template = jax.eval_shape(
         lambda: init_state(jax.random.key(0), resolved.model, resolved.train))
     per_step: Dict[str, float] = {}
-    ckpts = ckpt_mod.list_checkpoints(os.path.join(run_dir, "checkpoints"))
+    ckpts = ckpt.list_checkpoints(os.path.join(run_dir, "checkpoints"))
     if not ckpts:
         raise FileNotFoundError(f"no checkpoints in {run_dir}")
     vocab_hash = vocab.content_hash()
     for step, path in ckpts.items():
         # Meta sidecar first: skipping a mid-epoch checkpoint must not cost
         # a multi-GB npz deserialization.
-        meta = ckpt_mod.load_meta(path)
+        meta = ckpt.load_meta(path)
         trained_hash = meta.get("vocab_hash")
         if trained_hash and trained_hash != vocab_hash:
             raise ValueError(
@@ -165,7 +164,7 @@ def sweep_checkpoints(recipe: RecipeConfig, data_dir: str, run_dir: str,
                 f"vocabulary than {data_dir}")
         if meta.get("cursor") is not None:
             continue  # mid-epoch step checkpoint; sweep epoch snapshots only
-        state, _ = ckpt_mod.load_checkpoint(path, template)
+        state, _ = ckpt.load_checkpoint(path, template)
         run = score_topics(state.params, resolved.model, encoded,
                            registry.names, resolved.score)
         res = evaluate_run(run, qrels, measures=(measure,))

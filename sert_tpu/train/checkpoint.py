@@ -123,10 +123,15 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
     tmp = base + ".npz.tmp"
     with open(tmp, "wb") as fh:
         np.savez(fh, **flat)
-    os.replace(tmp, base + ".npz")
+    # Sidecar FIRST, npz rename as the commit point: discovery keys on the
+    # .npz (latest_checkpoint), so a crash between the two renames must
+    # leave an orphan .json (harmless), never a discoverable checkpoint
+    # with empty meta — that would resume at epoch 0 and skip the
+    # vocab-hash guard.
     with open(base + ".json.tmp", "w") as fh:
         json.dump({"step": int(step), **(meta or {})}, fh, indent=2)
     os.replace(base + ".json.tmp", base + ".json")
+    os.replace(tmp, base + ".npz")
     if max_to_keep > 0:
         existing = list_checkpoints(ckpt_dir)
         for old_step in sorted(existing)[:-max_to_keep]:

@@ -26,6 +26,10 @@ def validate_batch(batch: Dict[str, np.ndarray], cfg: ModelConfig) -> None:
     B, width = w.shape
     if l.shape != (B,) or e.shape != (B,):
         raise ValueError(f"batch shape mismatch: {w.shape} {l.shape} {e.shape}")
+    if B == 0:
+        # Precise error before any min/max reduction (which has no
+        # identity on a zero-size array and raises opaquely).
+        raise ValueError("empty batch (B=0 rows)")
     if w.min() < 0 or w.max() >= cfg.vocab_size:
         raise ValueError(
             f"window term id out of range [0, {cfg.vocab_size}): "

@@ -85,10 +85,22 @@ class TestTrecIO:
         p = str(tmp_path / "run.txt")
         trec.write_run(run, p, tag="test")
         lines = open(p).read().splitlines()
-        assert lines[0].split() == ["q1", "Q0", "d3", "1", "9.000000", "test"]
+        assert lines[0].split() == ["q1", "Q0", "d3", "1", "9", "test"]
         assert lines[1].split()[2] == "d2"   # q2 sorted by score desc
         back = trec.read_run(p)
         assert back["q2"][0] == ("d2", 1.5)
+
+    def test_run_roundtrip_preserves_sub_1e6_gaps(self, tmp_path):
+        """Scores are written at repr precision: gaps below 1e-6
+        (normalized fusions, large-E log-probs) must survive the file
+        round trip instead of collapsing into docno-ordered ties."""
+        a, b = 0.5, 0.5 + 1e-9
+        run = {"q1": [("zzz", b), ("aaa", a)]}
+        p = str(tmp_path / "run.txt")
+        trec.write_run(run, p)
+        back = trec.read_run(p)
+        assert back["q1"][0] == ("zzz", b)
+        assert back["q1"][1] == ("aaa", a)
 
     def test_qrels_roundtrip(self, tmp_path):
         qrels = {"q1": {"a": 2, "b": 0}, "q2": {"c": 1}}

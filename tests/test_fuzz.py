@@ -67,6 +67,77 @@ class TestMetricFuzz:
             assert got["recip_rank"] == pytest.approx(rr, abs=1e-12), trial
 
 
+class TestFusionFuzz:
+    def test_interp_matches_bruteforce(self):
+        """fuse_runs(interp, minmax) vs a literal reimplementation of its
+        contract (normalize per topic, missing docs at the floor) on random
+        multi-run inputs, including all-tied and single-doc topics."""
+        from sert_tpu.eval.fuse import fuse_runs
+        rng = np.random.default_rng(1)
+        for trial in range(100):
+            n_runs = int(rng.integers(2, 4))
+            topics = [f"q{i}" for i in range(rng.integers(1, 4))]
+            runs, weights = [], rng.random(n_runs).tolist()
+            for _ in range(n_runs):
+                r = {}
+                for t in topics:
+                    if rng.random() < 0.2:
+                        continue  # topic absent from this run
+                    n = int(rng.integers(1, 8))
+                    docs = rng.choice(20, size=n, replace=False)
+                    s = (np.full(n, 3.0) if rng.random() < 0.2   # all-tied
+                         else rng.normal(size=n))
+                    r[t] = [(f"d{d}", float(v)) for d, v in zip(docs, s)]
+                runs.append(r)
+            fused = fuse_runs(runs, weights=weights, method="interp")
+            for t in topics:
+                # brute force
+                normed = []
+                for r in runs:
+                    e = r.get(t, [])
+                    d = {}
+                    if e:
+                        vals = np.asarray([v for _, v in e])
+                        lo, hi = vals.min(), vals.max()
+                        nv = ((vals - lo) / (hi - lo) if hi > lo
+                              else np.ones_like(vals))
+                        d = dict(zip([x for x, _ in e], nv.tolist()))
+                    normed.append(d)
+                all_docs = set().union(*normed)
+                want = {doc: sum(w * d.get(doc, 0.0)
+                                 for d, w in zip(normed, weights))
+                        for doc in all_docs}
+                got = dict(fused.get(t, []))
+                assert set(got) == set(want), trial
+                for doc in want:
+                    assert got[doc] == pytest.approx(want[doc],
+                                                     abs=1e-12), trial
+
+    def test_run_file_roundtrip_preserves_eval(self, tmp_path):
+        """Metrics on an in-memory run == metrics on the same run after a
+        write_run/read_run round trip (repr-precision scores; tiny gaps
+        must not collapse into ties that re-rank)."""
+        from sert_tpu.eval.trec import read_run, write_run
+        rng = np.random.default_rng(2)
+        for trial in range(20):
+            run = {}
+            qrels = {}
+            for q in range(3):
+                docs = [f"d{i}" for i in range(10)]
+                base = rng.normal()
+                # scores separated by ~1e-9: below the old %.6f resolution
+                run[f"q{q}"] = [(d, float(base + i * 1e-9))
+                                for i, d in enumerate(docs)]
+                qrels[f"q{q}"] = {d: int(rng.integers(0, 2)) for d in docs}
+            p = str(tmp_path / f"r{trial}.trec")
+            write_run(run, p)
+            direct = metrics.evaluate_run(run, qrels)
+            tripped = metrics.evaluate_run(read_run(p), qrels)
+            for m, v in direct["all"].items():
+                assert tripped["all"][m] == pytest.approx(v,
+                                                          abs=1e-12), trial
+
+
 class TestTopkFuzz:
     def test_hierarchical_topk_random_shapes(self):
         rng = np.random.default_rng(1)

@@ -12,7 +12,6 @@ shard_map collectives) are the ones validated on the fake-device mesh.
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
 import jax

@@ -153,13 +153,21 @@ def fold_in_entity(params: Params, token_ids, cfg: ModelConfig,
         windows = ids[None, :]
         lengths = np.asarray([n], np.int32)
     else:
-        n_win = n - window_size + 1
-        windows = np.lib.stride_tricks.sliding_window_view(ids, window_size)
-        windows = np.ascontiguousarray(windows[:n_win])
-        lengths = np.full(n_win, window_size, np.int32)
-    reps = window_rep(params, jnp.asarray(windows), jnp.asarray(lengths),
-                      cfg)                                           # [W, de]
-    return jnp.mean(reps, axis=0)
+        windows = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(ids, window_size))
+        lengths = np.full(windows.shape[0], window_size, np.int32)
+    # Chunk the dispatches: the window_rep gather materializes
+    # [W, window, d_w]; an unbounded text (this is reachable from the
+    # serve HTTP endpoint) must not become one multi-GB device allocation.
+    CHUNK = 8192
+    W = windows.shape[0]
+    acc = None
+    for lo in range(0, W, CHUNK):
+        reps = window_rep(params, jnp.asarray(windows[lo:lo + CHUNK]),
+                          jnp.asarray(lengths[lo:lo + CHUNK]), cfg)
+        s = jnp.sum(reps, axis=0)
+        acc = s if acc is None else acc + s
+    return acc / W
 
 
 def query_scores(params: Params, term_ids: jax.Array, num_terms: jax.Array,

@@ -68,7 +68,14 @@ def stage_distributed(params, cfg: ModelConfig, sc: ScoreConfig) -> DistStaged:
     return DistStaged(mesh, params, prep, local_engine)
 
 
-def pad_queries(encoded: Mapping[str, Sequence[int]], max_terms: int = 16
+# The engine's query-term budget (static shapes under jit): longer queries
+# truncate. Serving imports this so folded-entity merging and calibration
+# probes cap queries identically to the engine.
+MAX_QUERY_TERMS = 16
+
+
+def pad_queries(encoded: Mapping[str, Sequence[int]],
+                max_terms: int = MAX_QUERY_TERMS,
                 ) -> Tuple[List[str], np.ndarray, np.ndarray]:
     """(qids, term_ids [Q, T], num_terms [Q]); long queries truncate to T."""
     qids = sorted(encoded)
@@ -88,7 +95,7 @@ def score_topics(
     encoded_topics: Mapping[str, Sequence[int]],
     entity_names: Sequence[str],
     score_cfg: Optional[ScoreConfig] = None,
-    max_terms: int = 16,
+    max_terms: int = MAX_QUERY_TERMS,
     prep=None,
 ) -> Dict[str, List[Tuple[str, float]]]:
     """Score every topic against every entity; returns a TREC run dict

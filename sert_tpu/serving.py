@@ -30,6 +30,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Tuple
 from urllib.parse import parse_qs, urlparse
 
+from sert_tpu.scoring.run import MAX_QUERY_TERMS as _MAX_QUERY_TERMS
 from sert_tpu.utils.config import RecipeConfig
 from sert_tpu.utils.logging import get_logger
 
@@ -65,7 +66,10 @@ class EntitySearcher:
             self.recipe.score, top_k=self.k_max, query_batch=query_batch)
         self.num_entities = len(self.registry.names)
         self._score_topics = score_topics
-        self._lock = threading.Lock()
+        # RLock: fold-in holds it across its whole device sequence while
+        # its probe re-enters _score (the module invariant is that ALL
+        # device dispatches serialize through this one lock).
+        self._lock = threading.RLock()
         self.prep = None
         engine = resolve_engine(self.score_cfg, self.num_entities)
         if engine == "pallas":
@@ -111,9 +115,11 @@ class EntitySearcher:
         ids = self.encode(text)
         if not ids:
             return None
-        with self._lock:
+        with self._lock:   # engine + merge dispatches both serialize here
             run = self._score({"q": ids})
-        return self._merge_extra(ids, run["q"], self._clamp_k(k))
+            merged = self._merge_extra_batch([ids], [run["q"]],
+                                             self._clamp_k(k))
+        return merged[0]
 
     def search_many(self, texts: List[str], k: Optional[int] = None
                     ) -> List[Optional[List[Tuple[str, float]]]]:
@@ -126,14 +132,16 @@ class EntitySearcher:
             {str(i): t for i, t in enumerate(texts)},
             self.vocab, self.recipe.data)
         live = {qid: ids for qid, ids in encoded.items() if ids}
-        run = {}
+        kk = self._clamp_k(k)
+        merged = {}
         if live:
             with self._lock:
                 run = self._score(live)
-        kk = self._clamp_k(k)
-        return [self._merge_extra(encoded[str(i)], run[str(i)], kk)
-                if str(i) in run else None
-                for i in range(len(texts))]
+                qids = list(live)
+                out = self._merge_extra_batch([live[q] for q in qids],
+                                              [run[q] for q in qids], kk)
+                merged = dict(zip(qids, out))
+        return [merged.get(str(i)) for i in range(len(texts))]
 
     # -- fold-in: add entities at serve time (LSE only) ----------------------
 
@@ -163,30 +171,51 @@ class EntitySearcher:
             raise ValueError(
                 "fold-in needs the LSE family: log-linear candidates exist "
                 "only as learned projection columns — retrain to add them")
-        taken = set(self.registry.names) | set(self._extra_names)
-        vecs, names, spans = [], [], []
         for name, text in items:
-            if name in taken or name in names:
-                raise ValueError(f"entity name {name!r} already indexed")
-            ids = self.encode(text)
-            if not ids:
+            if not isinstance(name, str) or not isinstance(text, str):
                 raise ValueError(
-                    f"entity {name!r}: no in-vocab token in its text")
-            v = np.asarray(lse_model.fold_in_entity(
-                self.params, ids, self.recipe.model,
-                window_size=self.recipe.data.window_size))
-            v = v / max(float(np.linalg.norm(v)), 1e-9)
-            floor = float(np.mean(self._background_reps() @ v))
-            # Trained index's response to this entity's own text = what a
-            # trained twin would score; the engine answers under the lock.
-            with self._lock:
-                run = self._score({"_probe": ids})
-            probe = run["_probe"]
-            top = float(probe[0][1]) if probe else 1.0
-            names.append(name)
-            vecs.append(v)
-            spans.append((floor, top))
+                    "add_entities items must be (str name, str text) pairs")
+        if self.score_cfg.similarity != "cosine":
+            log.warning(
+                "fold-in under similarity=%r: calibration maps folded "
+                "scores into [0, probe-top]; trained dot scores are "
+                "unbounded, so cross-set ranking is approximate (cosine "
+                "recipes are exact)", self.score_cfg.similarity)
+        # Hold the lock across the whole device sequence (RLock: the probe
+        # _score below re-enters it) — fold-in must serialize with searches
+        # like every other dispatch, and the duplicate check must be atomic
+        # with the append or concurrent adds could both pass it.
         with self._lock:
+            taken = set(self.registry.names) | set(self._extra_names)
+            vecs, names, probes = [], [], {}
+            for name, text in items:
+                if name in taken or name in names:
+                    raise ValueError(f"entity name {name!r} already indexed")
+                ids = self.encode(text)
+                if not ids:
+                    raise ValueError(
+                        f"entity {name!r}: no in-vocab token in its text")
+                v = np.asarray(lse_model.fold_in_entity(
+                    self.params, ids, self.recipe.model,
+                    window_size=self.recipe.data.window_size))
+                v = v / max(float(np.linalg.norm(v)), 1e-9)
+                names.append(name)
+                vecs.append(v)
+                # The probe is term-capped exactly like real queries are
+                # (pad_queries truncation), so `top` is the trained index's
+                # response to this content AS A QUERY — the scale searches
+                # actually happen on.
+                probes[name] = ids[:_MAX_QUERY_TERMS]
+            run = self._score(probes)   # ONE batched engine call
+            floors = self._background_reps() @ np.stack(vecs).T  # [bg, n]
+            spans = []
+            for j, name in enumerate(names):
+                probe = run[name]
+                # A non-positive probe top means the trained index calls
+                # this content noise; folded scores clamp to 0 there (a
+                # negative scale would invert the folded ranking).
+                top = max(float(probe[0][1]), 0.0) if probe else 0.0
+                spans.append((float(floors[:, j].mean()), top))
             # vecs/spans BEFORE names: entries only append, so a concurrent
             # reader pairing names[i] with vecs[i]/spans[i] always sees a
             # consistent prefix.
@@ -232,31 +261,43 @@ class EntitySearcher:
     def num_extra_entities(self) -> int:
         return len(self._extra_names)
 
-    def _merge_extra(self, ids, hits, kk):
-        """Score the folded-in entities for this query (f-image cosine,
-        affinely calibrated per entity — see add_entities) and merge them
-        into the staged engine's ranked hits."""
+    def _merge_extra_batch(self, ids_list, hits_list, kk):
+        """Score the folded-in entities for a BATCH of queries (f-image
+        cosine, affinely calibrated per entity — see add_entities) and
+        merge into each query's engine hits. One window_rep dispatch for
+        the whole batch; caller holds the lock. Query ids are term-capped
+        exactly like the engine caps them, so trained and folded entities
+        are ranked against the same query."""
         names, vecs = self._extra_names, self._extra_vecs   # prefix-stable
         spans = self._extra_spans
         if not names:
-            return hits[:kk]
+            return [h[:kk] for h in hits_list]
         import numpy as np
 
         from sert_tpu.models import lse as lse_model
-        t = np.zeros((1, max(len(ids), 1)), np.int32)
-        t[0, :len(ids)] = ids
-        rep = np.asarray(lse_model.window_rep(
-            self.params, t, np.asarray([len(ids)], np.int32),
-            self.recipe.model))[0]
-        rep = rep / max(float(np.linalg.norm(rep)), 1e-9)
+        capped = [ids[:_MAX_QUERY_TERMS] for ids in ids_list]
+        Q = len(capped)
+        T = max(max(len(c) for c in capped), 1)
+        t = np.zeros((Q, T), np.int32)
+        n_t = np.zeros((Q,), np.int32)
+        for i, c in enumerate(capped):
+            t[i, :len(c)] = c
+            n_t[i] = len(c)
+        reps = np.asarray(lse_model.window_rep(
+            self.params, t, n_t, self.recipe.model))         # [Q, d_e]
+        reps = reps / np.maximum(
+            np.linalg.norm(reps, axis=-1, keepdims=True), 1e-9)
         n = min(len(names), vecs.shape[0], spans.shape[0])
-        cos = vecs[:n] @ rep                                 # [n]
+        cos = reps @ vecs[:n].T                              # [Q, n]
         floor, top = spans[:n, 0], spans[:n, 1]
-        side = np.maximum(cos - floor, 0.0) / np.maximum(1.0 - floor,
-                                                         1e-9) * top
-        merged = list(hits) + list(zip(names[:n], side.tolist()))
-        merged.sort(key=lambda e: -e[1])
-        return merged[:kk]
+        side = (np.maximum(cos - floor[None, :], 0.0)
+                / np.maximum(1.0 - floor[None, :], 1e-9) * top[None, :])
+        out = []
+        for qi, hits in enumerate(hits_list):
+            merged = list(hits) + list(zip(names[:n], side[qi].tolist()))
+            merged.sort(key=lambda e: -e[1])
+            out.append(merged[:kk])
+        return out
 
     def _clamp_k(self, k: Optional[int]) -> int:
         """Requested k -> [1, k_max]; None and non-positive values (a
@@ -352,15 +393,18 @@ class _Handler(BaseHTTPRequestHandler):
         if url.path == "/entities":
             # Fold-in: {"entities": [{"name": ..., "text": ...}, ...]}
             try:
-                n = int(self.headers.get("Content-Length", 0))
+                n = max(int(self.headers.get("Content-Length", 0)), 0)
                 req = json.loads(self.rfile.read(n) or b"{}")
                 items = req.get("entities")
                 if (not isinstance(items, list) or not items
-                        or not all(isinstance(e, dict) and e.get("name")
+                        or not all(isinstance(e, dict)
+                                   and isinstance(e.get("name"), str)
+                                   and e.get("name")
+                                   and isinstance(e.get("text"), str)
                                    and e.get("text") for e in items)):
                     raise ValueError(
                         "'entities' must be a non-empty list of "
-                        "{name, text} objects")
+                        "{name: str, text: str} objects")
                 added = self.searcher.add_entities(
                     [(e["name"], e["text"]) for e in items])
             except (ValueError, json.JSONDecodeError) as e:
@@ -374,7 +418,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {url.path!r}"})
             return
         try:
-            n = int(self.headers.get("Content-Length", 0))
+            # max(0): a negative Content-Length would read-until-EOF and
+            # park this handler thread on a held-open connection.
+            n = max(int(self.headers.get("Content-Length", 0)), 0)
             req = json.loads(self.rfile.read(n) or b"{}")
             query = req.get("query") or req.get("q") or ""
             queries = req.get("queries")

@@ -9,7 +9,6 @@ error contract (log-linear, duplicates, all-OOV text).
 """
 
 import json
-import os
 import threading
 import urllib.error
 import urllib.request
@@ -108,6 +107,21 @@ class TestFoldIn:
         assert ("folded-5" not in names
                 or names.index("folded-5") > names.index(other))
 
+    def test_search_many_merges_folded(self, lse_workdir):
+        """Batched search merges folded entities with ONE rep dispatch for
+        the whole batch (and OOV slots stay None)."""
+        root, recipe, col = lse_workdir
+        s = EntitySearcher(recipe, str(root / "data"), str(root / "run"),
+                           k=10)
+        target = col.entities[4]
+        text = " ".join(t for d, es in col.doc_entities.items()
+                        for t in col.docs[d].split() if target in es)
+        s.add_entities([("folded-m", text)])
+        tid = [t for t in col.topics if target in col.qrels[t]][0]
+        out = s.search_many([col.topics[tid], "zzz-not-in-vocab"])
+        assert out[1] is None
+        assert "folded-m" in [n for n, _ in out[0]]
+
     def test_error_contract(self, lse_workdir):
         root, recipe, col = lse_workdir
         s = EntitySearcher(recipe, str(root / "data"), str(root / "run"))
@@ -147,8 +161,10 @@ class TestFoldIn:
             assert res["added"] == 1 and res["extra_entities"] == 1
             with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
                 assert json.loads(r.read())["extra_entities"] == 1
-            # malformed and duplicate both 400
+            # malformed, non-string fields, and duplicate all 400
             for payload in ({"entities": []},
+                            {"entities": [{"name": "n2", "text": 123}]},
+                            {"entities": [{"name": ["x"], "text": doc}]},
                             {"entities": [{"name": "http-folded",
                                            "text": doc}]}):
                 req = urllib.request.Request(

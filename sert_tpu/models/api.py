@@ -39,6 +39,11 @@ def loss_fn(params: Params, batch, cfg: ModelConfig,
         return loglinear.loss(params, batch, cfg)
     if fam == "lse_full":
         return lse.loss_full_softmax(params, batch, cfg)
+    if cfg.objective == "sampled_softmax":
+        return lse.loss_sampled_softmax(params, batch, cfg, rng=rng,
+                                        noise=noise)
+    if cfg.objective != "nce":
+        raise ValueError(f"unknown LSE objective: {cfg.objective!r}")
     return lse.loss(params, batch, cfg, rng=rng, noise=noise)
 
 

@@ -108,6 +108,57 @@ def loss(params: Params, batch, cfg: ModelConfig, rng: jax.Array = None,
     return -jnp.mean(ll)
 
 
+def loss_sampled_softmax(params: Params, batch, cfg: ModelConfig,
+                         rng: jax.Array = None,
+                         negatives: Optional[jax.Array] = None,
+                         noise: Optional[jax.Array] = None) -> jax.Array:
+    """Importance-corrected sampled softmax with BATCH-SHARED negatives.
+
+    The binary-NCE objective (``loss``) measurably trails the full softmax
+    it approximates on the hard stand-ins (docs/QUALITY.md ablation: NDCG
+    0.63 vs 0.72 at E=900, and more negatives do NOT close the gap). This
+    is the ranking-calibrated alternative: draw ONE candidate set of k
+    negatives per step, score every in-batch positive against it, and use
+    the importance-weighted partition estimate
+
+        Z_hat_i = exp(s_pos_i) + (1/k) * sum_j exp(s_neg_ij) / q(neg_j)
+
+    (Bengio & Senecal's sampled softmax; each sampled column's logit is
+    corrected by -log(k * q(candidate))). With accidental hits (a negative
+    equal to the row's positive) masked out, E[Z_hat] = Z exactly, so the
+    loss CONVERGES to the full-softmax cross-entropy as k grows — unlike
+    binary NCE, which optimizes a different (classification, not ranking)
+    objective at any k. tests/test_models.py checks this convergence
+    numerically.
+
+    TPU-first consequence of SHARING the negatives: the negative scores are
+    one [B, d] x [d, k] matmul on the MXU instead of B independent [k, d]
+    gathers + einsum — so k can be hundreds-to-thousands at negligible
+    step-cost, where per-example NCE paid O(B*k) gather rows. Gradients
+    still touch only k + B entity rows per step (the scaling story that
+    makes LSE viable at large E stays intact).
+    """
+    reps = window_rep(params, batch["windows"], batch["lengths"], cfg)  # [B, de]
+    if noise is None:
+        noise = jnp.zeros((cfg.num_entities,), jnp.float32)
+    logq = jax.nn.log_softmax(noise.astype(jnp.float32))                # [E]
+    if negatives is None:
+        negatives = sample_negatives(rng, noise, 1, cfg)[0]             # [k]
+    k = negatives.shape[0]
+    ent = params["entity_emb"].astype(jnp.float32)
+    pos = batch["entities"]
+    cand = ent[negatives]                                               # [k, de]
+    s_pos = jnp.sum(reps * ent[pos], axis=-1)                           # [B]
+    corr = logq[negatives] + jnp.log(jnp.float32(k))                    # [k]
+    s_neg = (jnp.dot(reps, cand.T, preferred_element_type=jnp.float32)
+             - corr[None, :])                                           # [B, k]
+    hit = negatives[None, :] == pos[:, None]
+    s_neg = jnp.where(hit, -1e30, s_neg)
+    lse_all = jax.scipy.special.logsumexp(
+        jnp.concatenate([s_pos[:, None], s_neg], axis=1), axis=-1)
+    return jnp.mean(lse_all - s_pos)
+
+
 def loss_full_softmax(params: Params, batch, cfg: ModelConfig,
                       rng: jax.Array = None) -> jax.Array:
     """Full-softmax cross-entropy over all entities (small-scale cross-check

@@ -57,6 +57,36 @@ def lse_nce_loss(params, windows, lengths, entities, negatives) -> float:
     return -total / B
 
 
+def lse_sampled_softmax_loss(params, windows, lengths, entities,
+                             negatives, logq) -> float:
+    """Twin of models.lse.loss_sampled_softmax: batch-SHARED negatives
+    ``[k]``, sampled columns corrected by -log(k * q(candidate)) (the
+    positive column uncorrected), accidental-hit masking, softmax CE with
+    the positive in column 0."""
+    we = np.asarray(params["word_emb"], np.float64)
+    W = np.asarray(params["proj_w"], np.float64)
+    b = np.asarray(params["proj_b"], np.float64)
+    ent = np.asarray(params["entity_emb"], np.float64)
+    logq = np.asarray(logq, np.float64)
+    reps = np.tanh(_pooled(we, windows, lengths) @ W + b)   # [B, de]
+    B = reps.shape[0]
+    k = len(negatives)
+    total = 0.0
+    for i in range(B):
+        row = [float(reps[i] @ ent[entities[i]])]
+        for j in negatives:
+            if int(j) == int(entities[i]):
+                row.append(-1e30)
+            else:
+                row.append(float(reps[i] @ ent[int(j)])
+                           - float(logq[int(j)]) - np.log(k))
+        row = np.asarray(row)
+        m = row.max()
+        lse = m + np.log(np.exp(row - m).sum())
+        total += lse - row[0]
+    return total / B
+
+
 def lse_full_softmax_loss(params, windows, lengths, entities) -> float:
     we = np.asarray(params["word_emb"], np.float64)
     W = np.asarray(params["proj_w"], np.float64)

@@ -28,6 +28,31 @@ class TrainState(NamedTuple):
     rng: jax.Array           # PRNG key consumed for negative sampling
 
 
+def check_optimizer_model_fit(model_cfg: ModelConfig,
+                              train_cfg: TrainConfig) -> None:
+    """Warn on the measured adafactor/LSE footgun.
+
+    adafactor's factored second moment assumes dense per-step gradients
+    (true for the full-softmax families, where dW touches every entity
+    column every step). LSE's sampled objective updates only the gathered
+    positive/negative rows, so the row/column statistics pool over columns
+    that mostly saw zero gradient and infrequent rows get mis-scaled steps.
+    Measured on the 200k-entity stress: NDCG@100 0.46-0.52 vs adam's 0.89
+    (benchmarks/NOTES.md, 'Scope caveat'). adam/adagrad keep per-parameter
+    state and are the right fit for sparse NCE updates.
+    """
+    if (train_cfg.optimizer == "adafactor" and model_cfg.model == "lse"):
+        import warnings
+        warnings.warn(
+            "optimizer='adafactor' with the sampled-objective LSE model is "
+            "a measured quality trap (NDCG 0.46-0.52 vs adam's 0.89 on the "
+            "200k stress — factored second-moment statistics mis-scale "
+            "sparse negative-sampling updates; benchmarks/NOTES.md). Use "
+            "optimizer='adam' or 'adagrad' for LSE; adafactor fits the "
+            "dense-gradient families (loglinear, lse_full).",
+            UserWarning, stacklevel=3)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """adagrad / adam / sgd — the reference's optimizer menu (SURVEY.md
     section 3.1 'Optimizers'), plus optional global-norm clipping and
@@ -86,6 +111,7 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
     STACKED batch (leading axis = micro-steps) and scans the step inside one
     compiled call; metrics are the final micro-step's.
     """
+    check_optimizer_model_fit(model_cfg, train_cfg)
     opt = make_optimizer(train_cfg)
     if loss_fn is None:
         loss_fn = api.loss_fn

@@ -59,6 +59,14 @@ class ModelConfig:
     num_negatives: int = 10
     negative_distribution: str = "uniform"   # "uniform" | "unigram"
     unigram_power: float = 0.75
+    # LSE sampled objective: "nce" = per-example binary negative sampling
+    # (word2vec-style, the reference's method); "sampled_softmax" =
+    # batch-shared candidate set with importance-corrected softmax CE —
+    # ranking-calibrated, tracks the full softmax far more closely at the
+    # same entity-row cost (models/lse.py loss_sampled_softmax; shared
+    # negatives make large k nearly free on the MXU). Ignored by the other
+    # families.
+    objective: str = "nce"          # "nce" | "sampled_softmax"
     # Numerics:
     compute_dtype: str = "float32"  # "float32" | "bfloat16" (MXU-friendly)
     param_dtype: str = "float32"
@@ -72,9 +80,20 @@ class ModelConfig:
 
 @dataclass(frozen=True)
 class TrainConfig:
+    """Training hyperparameters.
+
+    ``optimizer``: "adam" | "adagrad" | "sgd" | "adafactor". adafactor's
+    factored second moment is the large-E choice for the DENSE-gradient
+    families (loglinear, lse_full) — O(d+E) state instead of O(d*E). It is
+    a measured quality trap for the sampled-objective LSE model (sparse
+    per-step updates; NDCG 0.46-0.52 vs adam's 0.89 on the 200k stress,
+    benchmarks/NOTES.md): the train step warns on that combination. Use
+    adam/adagrad for LSE.
+    """
+
     batch_size: int = 1024
     num_epochs: int = 5
-    optimizer: str = "adam"         # "adam" | "adagrad" | "sgd" | "adafactor"
+    optimizer: str = "adam"         # see class docstring for the menu
     learning_rate: float = 1e-3
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0     # 0 disables clipping

@@ -230,6 +230,47 @@ class TestSyntheticAndPrepare:
         for tid, rel in c1.qrels.items():
             assert len(rel) == 1
 
+    def test_vocab_gap_plants_paraphrase_structure(self):
+        """The vocab-gap contract (round-2 VERDICT missing item 1): queried
+        anti-dialect terms are (a) absent from the target's documents —
+        lexical matching structurally capped — and (b) present somewhere in
+        the collection — distributional learning not capped."""
+        col = make_synthetic(num_entities=32, vocab_size=3000,
+                             docs_per_entity=8, doc_len=100, num_topics=16,
+                             query_len=4, seed=7, hard=True, vocab_gap=True)
+        ent_tokens = {e: set() for e in col.entities}
+        for d, txt in col.docs.items():
+            for e in col.doc_entities[d]:
+                ent_tokens[e].update(txt.split())
+        all_tokens = set().union(*ent_tokens.values())
+        gap_total = 0
+        for tid, q in col.topics.items():
+            qt = q.split()
+            target = [e for e, g in col.qrels[tid].items() if g == 2][0]
+            missing = [t for t in qt if t not in ent_tokens[target]]
+            present = [t for t in qt if t in ent_tokens[target]]
+            assert present, tid      # private terms keep the target findable
+            gap_total += len(missing)
+            for t in qt:             # every query term is trained somewhere
+                assert t in all_tokens, (tid, t)
+            # each anti-dialect term occurs in at least one grade-1 sibling
+            sibs = [e for e, g in col.qrels[tid].items() if g == 1]
+            for t in missing:
+                assert any(t in ent_tokens[s] for s in sibs), (tid, t)
+        assert gap_total >= len(col.topics)  # the gap actually exists
+
+    def test_vocab_gap_requires_hard(self):
+        with pytest.raises(ValueError, match="hard"):
+            make_synthetic(num_entities=8, vocab_size=300, vocab_gap=True)
+
+    def test_vocab_gap_deterministic(self):
+        kw = dict(num_entities=16, vocab_size=1000, docs_per_entity=4,
+                  doc_len=40, num_topics=8, seed=9, hard=True,
+                  vocab_gap=True)
+        c1, c2 = make_synthetic(**kw), make_synthetic(**kw)
+        assert c1.docs == c2.docs and c1.topics == c2.topics
+        assert c1.qrels == c2.qrels
+
     def test_parallel_prepare_identical_to_serial(self, tmp_path):
         """num_workers>0 must produce byte-identical artifacts (ordered imap,
         same vocab counts) — SURVEY.md section 6 race-detection contract."""

@@ -118,6 +118,79 @@ class TestLSE:
                                            batch["entities"], negs)) / (2 * eps)
             assert float(g[key][idx]) == pytest.approx(fd, rel=1e-3, abs=1e-5)
 
+    def test_sampled_softmax_matches_numpy(self):
+        rng = np.random.default_rng(6)
+        batch = _batch(rng)
+        params = lse.init(jax.random.key(6), CFG_LSE)
+        negatives = rng.integers(0, 11, size=5).astype(np.int32)  # shared [k]
+        noise = np.linspace(0.0, 1.0, 11).astype(np.float32)      # non-uniform q
+        logq = noise - (noise.max() + np.log(np.exp(noise - noise.max()).sum()))
+        got = float(lse.loss_sampled_softmax(
+            params, batch, CFG_LSE, negatives=jnp.asarray(negatives),
+            noise=jnp.asarray(noise)))
+        want = numpy_ref.lse_sampled_softmax_loss(
+            _np_params(params), batch["windows"], batch["lengths"],
+            batch["entities"], negatives, logq)
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_sampled_softmax_grad_matches_finite_difference(self):
+        rng = np.random.default_rng(7)
+        batch = _batch(rng, B=4)
+        params = lse.init(jax.random.key(7), CFG_LSE)
+        negatives = rng.integers(0, 11, size=4).astype(np.int32)
+        logq = np.full(11, -np.log(11.0))
+        g = jax.grad(lambda p: lse.loss_sampled_softmax(
+            p, batch, CFG_LSE, negatives=jnp.asarray(negatives)))(params)
+        npp = _np_params(params)
+        eps = 1e-4
+        for key, idx in [("entity_emb", (2, 1)), ("proj_w", (0, 3)),
+                         ("word_emb", (5, 0))]:
+            p_plus = {k: v.copy() for k, v in npp.items()}
+            p_minus = {k: v.copy() for k, v in npp.items()}
+            p_plus[key][idx] += eps
+            p_minus[key][idx] -= eps
+            fd = (numpy_ref.lse_sampled_softmax_loss(
+                      p_plus, batch["windows"], batch["lengths"],
+                      batch["entities"], negatives, logq)
+                  - numpy_ref.lse_sampled_softmax_loss(
+                      p_minus, batch["windows"], batch["lengths"],
+                      batch["entities"], negatives, logq)) / (2 * eps)
+            assert float(g[key][idx]) == pytest.approx(fd, rel=1e-3, abs=1e-5)
+
+    def test_sampled_softmax_converges_to_full(self):
+        """The importance-corrected estimator is value-consistent: as the
+        shared candidate count grows, the sampled loss approaches the full
+        softmax cross-entropy (binary NCE never does — it optimizes a
+        different objective at any k). Non-uniform q exercises the
+        importance weights, not just the uniform constant."""
+        rng = np.random.default_rng(8)
+        batch = _batch(rng, B=16)
+        params = lse.init(jax.random.key(8), CFG_LSE)
+        full = float(lse.loss_full_softmax(params, batch, CFG_LSE))
+        counts = rng.integers(1, 50, size=11).astype(np.float64)
+        cfg_u = CFG_LSE.replace(negative_distribution="unigram")
+        noise = lse.noise_logits(counts, cfg_u)
+        errs = []
+        for k in (8, 8192):
+            cfg_k = cfg_u.replace(num_negatives=k)
+            vals = [float(lse.loss_sampled_softmax(
+                        params, batch, cfg_k, rng=jax.random.key(100 + r),
+                        noise=noise)) for r in range(4)]
+            errs.append(abs(np.mean(vals) - full))
+        assert errs[-1] < 0.02
+        assert errs[-1] < errs[0]
+
+    def test_api_dispatches_objective(self):
+        rng = np.random.default_rng(9)
+        batch = _batch(rng)
+        cfg = CFG_LSE.replace(objective="sampled_softmax", num_negatives=6)
+        params = lse.init(jax.random.key(9), cfg)
+        l = api.loss_fn(params, batch, cfg, rng=jax.random.key(1))
+        assert np.isfinite(float(l))
+        with pytest.raises(ValueError, match="objective"):
+            api.loss_fn(params, batch, CFG_LSE.replace(objective="nope"),
+                        rng=jax.random.key(1))
+
     def test_negative_sampling_distribution(self):
         # unigram^power distribution: empirical frequencies track counts^p.
         counts = np.array([1, 8, 27, 64], np.float64)

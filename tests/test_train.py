@@ -72,6 +72,25 @@ class TestStep:
         u, _ = opt.update({"w": 100.0 * jnp.ones((4,))}, s, params)
         assert np.all(np.isfinite(np.asarray(u["w"])))
 
+    def test_adafactor_lse_warns(self):
+        # The measured footgun (benchmarks/NOTES.md scope caveat): factored
+        # second-moment stats mis-scale sparse NCE updates. The guard fires
+        # for sampled LSE, stays silent for the dense-gradient families.
+        import warnings
+        mcfg = ModelConfig(model="lse", vocab_size=50, num_entities=7,
+                           word_dim=8, entity_dim=8, num_negatives=3)
+        tcfg = TrainConfig(optimizer="adafactor", donate_state=False)
+        with pytest.warns(UserWarning, match="adafactor"):
+            make_train_step(mcfg, tcfg)
+        for quiet_model, quiet_opt in (("loglinear", "adafactor"),
+                                       ("lse_full", "adafactor"),
+                                       ("lse", "adam")):
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")
+                make_train_step(MCFG.replace(model=quiet_model),
+                                TrainConfig(optimizer=quiet_opt,
+                                            donate_state=False))
+
     def test_lse_step_consumes_rng(self):
         mcfg = ModelConfig(model="lse", vocab_size=50, num_entities=7,
                            word_dim=8, entity_dim=8, num_negatives=3)

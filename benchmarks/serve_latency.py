@@ -82,6 +82,95 @@ def measure_serve_latency(
             "platform": jax.devices()[0].platform, "rows": rows}
 
 
+def measure_concurrent_serving(
+    num_entities: int = 50_000,
+    num_clients: int = 64,
+    queries_per_client: int = 8,
+    seed: int = 0,
+    workdir: str = "/tmp/serve_conc_bench",
+) -> Dict:
+    """Concurrent-client throughput through the REAL serving stack
+    (EntitySearcher + micro-batcher), vs the sequential baseline.
+
+    Builds a small-doc synthetic collection at ``num_entities``, trains one
+    fast epoch (serving only needs a loadable checkpoint), then drives the
+    searcher with ``num_clients`` threads issuing ``queries_per_client``
+    searches each. Before the micro-batcher, concurrent clients serialized
+    one ~dispatch each (~200 q/s at 1M entities); with queue-drain
+    batching the engine call amortizes over every request that arrived
+    while the previous one was in flight."""
+    import dataclasses
+    import threading
+
+    from sert_tpu import pipeline, recipes
+    from sert_tpu.data.synthetic import make_synthetic
+    from sert_tpu.serving import EntitySearcher
+
+    recipe = recipes.amazon_musical_instruments()
+    recipe = dataclasses.replace(
+        recipe,
+        train=dataclasses.replace(recipe.train, num_epochs=1,
+                                  steps_per_call=8),
+        score=dataclasses.replace(recipe.score, query_batch=256))
+    col = make_synthetic(num_entities=num_entities, vocab_size=30_000,
+                         docs_per_entity=1, doc_len=24, num_topics=256,
+                         seed=seed)
+    data, run = f"{workdir}/data", f"{workdir}/run"
+    if not os.path.exists(f"{run}/checkpoints"):
+        pipeline.prepare_collection(col, data, recipe)
+        pipeline.train_from_dir(recipe, data, run, resume=False)
+    s = EntitySearcher(recipe, data, run, k=10, query_batch=256)
+
+    topics = sorted(col.topics)
+    texts = [col.topics[t] for t in topics]
+    n_total = num_clients * queries_per_client
+
+    # Sequential baseline: one client, one dispatch per query.
+    seq_n = min(64, len(texts))
+    t0 = time.perf_counter()
+    for i in range(seq_n):
+        s.search(texts[i % len(texts)])
+    seq_s = time.perf_counter() - t0
+
+    base = dict(s.stats)
+    results = [0] * num_clients
+
+    def client(ci):
+        ok = 0
+        for j in range(queries_per_client):
+            if s.search(texts[(ci * queries_per_client + j) % len(texts)]):
+                ok += 1
+        results[ci] = ok
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(num_clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    conc_s = time.perf_counter() - t0
+    d = s.stats["dispatches"] - base["dispatches"]
+    assert sum(results) == n_total
+
+    import jax
+    return {
+        "num_entities": num_entities,
+        "platform": jax.devices()[0].platform,
+        "sequential_qps": round(seq_n / seq_s, 1),
+        "concurrent_clients": num_clients,
+        "concurrent_qps": round(n_total / conc_s, 1),
+        "engine_dispatches": d,
+        "queries_per_dispatch": round(n_total / max(d, 1), 1),
+        "speedup_vs_sequential": round((n_total / conc_s) / (seq_n / seq_s),
+                                       1),
+    }
+
+
 if __name__ == "__main__":
     import json
-    print(json.dumps(measure_serve_latency(), indent=2))
+    which = sys.argv[1] if len(sys.argv) > 1 else "latency"
+    if which == "concurrent":
+        print(json.dumps(measure_concurrent_serving(), indent=2))
+    else:
+        print(json.dumps(measure_serve_latency(), indent=2))

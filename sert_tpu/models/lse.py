@@ -15,6 +15,7 @@ cross-check reduces over the sharded axis via log-sum-exp.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -194,19 +195,7 @@ def fold_in_entity(params: Params, token_ids, cfg: ModelConfig,
     .add_entities). Log-linear has no analogue: candidates exist only as
     learned columns of the projection matrix.
     """
-    import numpy as np
-
-    ids = np.asarray(token_ids, np.int32)
-    if ids.size == 0:
-        raise ValueError("fold_in_entity needs at least one in-vocab token")
-    n = int(ids.size)
-    if n <= window_size:
-        windows = ids[None, :]
-        lengths = np.asarray([n], np.int32)
-    else:
-        windows = np.ascontiguousarray(
-            np.lib.stride_tricks.sliding_window_view(ids, window_size))
-        lengths = np.full(windows.shape[0], window_size, np.int32)
+    windows, lengths = _entity_windows(token_ids, window_size)
     # Chunk the dispatches: the window_rep gather materializes
     # [W, window, d_w]; an unbounded text (this is reachable from the
     # serve HTTP endpoint) must not become one multi-GB device allocation.
@@ -219,6 +208,111 @@ def fold_in_entity(params: Params, token_ids, cfg: ModelConfig,
         s = jnp.sum(reps, axis=0)
         acc = s if acc is None else acc + s
     return acc / W
+
+
+def _entity_windows(token_ids, window_size: int):
+    """Sliding stride-1 windows + lengths over an entity's encoded text
+    (the f-input distribution training used) — shared by both fold-in
+    paths."""
+    import numpy as np
+
+    ids = np.asarray(token_ids, np.int32)
+    if ids.size == 0:
+        raise ValueError("fold_in_entity needs at least one in-vocab token")
+    n = int(ids.size)
+    if n <= window_size:
+        return ids[None, :], np.asarray([n], np.int32)
+    windows = np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(ids, window_size))
+    return windows, np.full(windows.shape[0], window_size, np.int32)
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def _fold_in_opt(pos_reps, pos_w, neg_reps, v0, neg_weight, lr, steps):
+    """Optimize one entity embedding v against FROZEN window reps.
+
+    Plain logistic regression in v (the reps do not depend on it), so
+    full-batch adam converges in a few hundred cheap [P+N, d] steps:
+
+        L(v) = -sum_p w_p log sigma(pos_p . v)
+               - neg_weight * mean_n log sigma(-neg_n . v)
+
+    — exactly entity e's slice of the training NCE objective (models.lse
+    .loss), with this entity's text windows as the positive visits and
+    lm_stats-synthesized background windows standing in for the windows
+    that would have drawn e as a negative. ``pos_w`` masks padding rows.
+    """
+    import optax
+
+    opt = optax.adam(lr)
+
+    def loss(v):
+        s_pos = pos_reps @ v
+        s_neg = neg_reps @ v
+        return -(jnp.sum(pos_w * jax.nn.log_sigmoid(s_pos))
+                 + neg_weight * jnp.mean(jax.nn.log_sigmoid(-s_neg)))
+
+    def step(carry, _):
+        v, st = carry
+        g = jax.grad(loss)(v)
+        up, st = opt.update(g, st, v)
+        return (v + up, st), None
+
+    (v, _), _ = jax.lax.scan(step, (v0, opt.init(v0)), None, length=steps)
+    return v
+
+
+def fold_in_entity_gradient(params: Params, token_ids, cfg: ModelConfig,
+                            neg_reps: jax.Array, window_size: int = 16,
+                            neg_weight: Optional[float] = None,
+                            steps: int = 1000, lr: float = 0.05,
+                            max_windows: int = 4096,
+                            seed: int = 0) -> jax.Array:
+    """[d_e] embedding for an unseen entity, optimized INTO the trained
+    geometry (the principled fold-in; round-2 VERDICT item 6).
+
+    Where :func:`fold_in_entity` returns the mean f-image (which lives on
+    the tanh image manifold, not among trained NCE embeddings, and needs
+    affine score calibration downstream), this fits v to the per-entity
+    slice of the actual training objective against frozen params: its own
+    text windows as positives, ``neg_reps`` (window reps synthesized from
+    the collection term distribution, serving._background_reps_raw) as the
+    background it must NOT respond to. The result scores on the trained
+    index's own scale — no calibration map — so a folded twin of a trained
+    entity ranks within tolerance of the original (tests/test_foldin.py).
+
+    ``neg_weight`` defaults to ``cfg.num_negatives`` — training drew k
+    negatives per positive window, so the background term carries k times
+    one positive's weight. Texts longer than ``max_windows`` windows are
+    deterministically subsampled (the estimate is a mean either way).
+    """
+    import numpy as np
+
+    windows, lengths = _entity_windows(token_ids, window_size)
+    W = windows.shape[0]
+    if W > max_windows:
+        sel = np.random.default_rng(seed).choice(W, size=max_windows,
+                                                 replace=False)
+        windows, lengths = windows[np.sort(sel)], lengths[np.sort(sel)]
+        W = max_windows
+    # Pad the positive rows up to a pow2 bucket so repeated serve-time
+    # fold-ins re-use one compiled optimizer instead of retracing per text
+    # length; padding rows carry zero weight.
+    P = max(8, 1 << (W - 1).bit_length())
+    pos_w = np.zeros((P,), np.float32)
+    pos_w[:W] = 1.0 / W
+    pad = np.zeros((P - W, windows.shape[1]), np.int32)
+    windows = np.concatenate([windows, pad])
+    lengths = np.concatenate([lengths, np.ones((P - W,), np.int32)])
+    pos_reps = window_rep(params, jnp.asarray(windows), jnp.asarray(lengths),
+                          cfg)
+    v0 = jnp.sum(pos_reps * jnp.asarray(pos_w)[:, None], axis=0)  # f-image
+    if neg_weight is None:
+        neg_weight = float(cfg.num_negatives)
+    return _fold_in_opt(pos_reps, jnp.asarray(pos_w),
+                        jnp.asarray(neg_reps, jnp.float32).astype(jnp.float32),
+                        v0, jnp.float32(neg_weight), jnp.float32(lr),
+                        steps)
 
 
 def query_scores(params: Params, term_ids: jax.Array, num_terms: jax.Array,

@@ -19,6 +19,16 @@ re-staging. This module provides that as
 Device dispatches are serialized by a lock: JAX dispatch is thread-safe,
 but serializing keeps per-query latency predictable instead of letting
 concurrent requests queue arbitrarily deep on one chip.
+
+Concurrent requests MICRO-BATCH instead of queueing one dispatch each:
+the engine's dispatch cost is batch-size-invariant up to query_batch
+(benchmarks/NOTES.md serving table: +256 queries cost ~3 ms total), so
+``search``/``search_many`` submit into a shared queue-drain batcher — the
+first free thread becomes the leader, drains every request that arrived
+while the previous dispatch was in flight, and answers them all with ONE
+engine call. A lone request still dispatches immediately (no collect
+window, no added latency); coalescing happens exactly when there is
+contention to amortize.
 """
 
 from __future__ import annotations
@@ -35,6 +45,21 @@ from sert_tpu.utils.config import RecipeConfig
 from sert_tpu.utils.logging import get_logger
 
 log = get_logger("serving")
+
+
+class _BatchReq:
+    """One submission to the micro-batcher: a list of encoded queries
+    (empty list = all-OOV placeholder, answered ``None``) and the caller's
+    clamped k. Filled in by whichever thread leads the dispatch."""
+
+    __slots__ = ("ids_list", "k", "results", "error", "done")
+
+    def __init__(self, ids_list, k):
+        self.ids_list = ids_list
+        self.k = k
+        self.results = None
+        self.error = None
+        self.done = False
 
 
 class EntitySearcher:
@@ -92,6 +117,16 @@ class EntitySearcher:
         self._extra_names: List[str] = []
         self._extra_vecs = None      # np.ndarray [n, d_e] or None
         self._extra_spans = None     # np.ndarray [n, 2]: (floor, top)
+        self._extra_raw = None       # np.ndarray [n] bool: gradient fold-in
+        # Micro-batcher state: pending requests + a single-leader flag,
+        # guarded by one condition variable (see module docstring).
+        self._bq_cond = threading.Condition()
+        self._bq_pending: List[_BatchReq] = []
+        self._bq_busy = False
+        # Observability: dispatches = engine calls made by the batcher,
+        # batched_queries = live queries answered, max_batch = largest
+        # single-dispatch query count (loopback tests assert coalescing).
+        self.stats = {"dispatches": 0, "batched_queries": 0, "max_batch": 0}
         self.data_dir = data_dir
         # Warm-up dispatch: compile happens here, not on the first query.
         self._score({"_warmup": self.vocab.encode(["warmup"])})
@@ -111,62 +146,123 @@ class EntitySearcher:
                ) -> Optional[List[Tuple[str, float]]]:
         """Ranked ``[(entity_name, score), ...]`` for a free-text query, or
         ``None`` when every query term is out of vocabulary (the caller
-        distinguishes "no signal" from "low scores")."""
+        distinguishes "no signal" from "low scores"). Concurrent callers
+        coalesce into one engine dispatch (module docstring)."""
         ids = self.encode(text)
         if not ids:
             return None
-        with self._lock:   # engine + merge dispatches both serialize here
-            run = self._score({"q": ids})
-            merged = self._merge_extra_batch([ids], [run["q"]],
-                                             self._clamp_k(k))
-        return merged[0]
+        return self._submit([ids], self._clamp_k(k))[0]
 
     def search_many(self, texts: List[str], k: Optional[int] = None
                     ) -> List[Optional[List[Tuple[str, float]]]]:
         """Batched search: one device pipeline for all queries (the
         scorer batches query_batch topics per dispatch, so N queries cost
         far less than N search() calls on a remote chip). Positions whose
-        query is entirely out of vocabulary come back as ``None``."""
+        query is entirely out of vocabulary come back as ``None``. Joins
+        the same micro-batcher as ``search``, so concurrent multi-query
+        posts coalesce too."""
         from sert_tpu.data.prepare import encode_queries
         encoded = encode_queries(
             {str(i): t for i, t in enumerate(texts)},
             self.vocab, self.recipe.data)
-        live = {qid: ids for qid, ids in encoded.items() if ids}
-        kk = self._clamp_k(k)
-        merged = {}
-        if live:
-            with self._lock:
-                run = self._score(live)
-                qids = list(live)
-                out = self._merge_extra_batch([live[q] for q in qids],
-                                              [run[q] for q in qids], kk)
-                merged = dict(zip(qids, out))
-        return [merged.get(str(i)) for i in range(len(texts))]
+        ids_list = [encoded[str(i)] for i in range(len(texts))]
+        if not any(ids_list):
+            return [None] * len(texts)
+        return self._submit(ids_list, self._clamp_k(k))
+
+    # -- micro-batching (queue-drain): one engine call per contention burst --
+
+    def _submit(self, ids_list: List[List[int]], kk: int
+                ) -> List[Optional[List[Tuple[str, float]]]]:
+        """Submit one request (N encoded queries; empty = OOV -> ``None``)
+        and block until answered. The first thread to find no dispatch in
+        flight drains the whole pending queue and answers it with one
+        engine call; everyone else sleeps on the condition variable."""
+        req = _BatchReq(ids_list, kk)
+        batch = None
+        with self._bq_cond:
+            self._bq_pending.append(req)
+            while not req.done and self._bq_busy:
+                self._bq_cond.wait()
+            if not req.done:
+                self._bq_busy = True                # become the leader
+                batch = self._bq_pending
+                self._bq_pending = []
+        if batch is not None:
+            self._run_batch(batch)
+        if req.error is not None:
+            raise req.error
+        return req.results
+
+    def _run_batch(self, batch: List[_BatchReq]) -> None:
+        """Leader path: score every live query in ``batch`` with one
+        engine + merge dispatch at the staged k cap (per-request k is a
+        free slice of that), distribute results, wake the waiters."""
+        try:
+            flat: List[List[int]] = []
+            for r in batch:
+                flat.extend(ids for ids in r.ids_list if ids)
+            merged = []
+            if flat:
+                keys = [str(i) for i in range(len(flat))]
+                with self._lock:    # the one device-dispatch lock
+                    run = self._score(dict(zip(keys, flat)))
+                    merged = self._merge_extra_batch(
+                        flat, [run[key] for key in keys], self.k_max)
+            it = iter(merged)
+            for r in batch:
+                r.results = [next(it)[:r.k] if ids else None
+                             for ids in r.ids_list]
+            self.stats["dispatches"] += 1
+            self.stats["batched_queries"] += len(flat)
+            self.stats["max_batch"] = max(self.stats["max_batch"], len(flat))
+        except BaseException as e:   # pragma: no cover - propagation path
+            for r in batch:
+                r.error = e
+        finally:
+            with self._bq_cond:
+                self._bq_busy = False
+                for r in batch:
+                    r.done = True
+                self._bq_cond.notify_all()
 
     # -- fold-in: add entities at serve time (LSE only) ----------------------
 
-    def add_entities(self, items: List[Tuple[str, str]]) -> int:
+    def add_entities(self, items: List[Tuple[str, str]],
+                     method: str = "affine") -> int:
         """Fold (name, associated-text) pairs into the live index WITHOUT
-        retraining: each new entity's vector is the mean LSE projection of
-        its text (models.lse.fold_in_entity — the CIKM paper's f applies to
-        any window). Returns the number added. Raises ValueError for
+        retraining. Returns the number added. Raises ValueError for
         log-linear models (candidates exist only as trained columns), for
-        duplicate names, and for text with no in-vocab token.
+        duplicate names, for text with no in-vocab token, and for an
+        unknown ``method``.
 
-        Score calibration (measured necessity, not nicety): f-images are
+        ``method="affine"`` (fast path): the vector is the mean LSE
+        projection of the text (models.lse.fold_in_entity — the CIKM
+        paper's f applies to any window), plus an affine score map fitted
+        at add time. The calibration is a measured necessity: f-images are
         mutually far more similar than trained NCE embeddings are to query
         projections — raw f-cosines of ~0.5 against UNRELATED queries would
-        outrank every trained entity. Each folded entity therefore gets an
-        affine map fitted at add time: its background response (mean
-        f-cosine against reps of random collection-frequency windows) maps
-        to 0 and a perfect match (cosine 1) maps to the trained index's own
-        top score for the entity's text — so a folded twin of a trained
-        entity scores like that entity, and unrelated queries push folded
-        scores to the trained index's noise floor."""
+        outrank every trained entity. The map sends the vector's background
+        response (mean f-cosine against reps of random collection-frequency
+        windows) to 0 and a perfect match to the trained index's own top
+        score for the entity's text.
+
+        ``method="gradient"`` (principled path): optimize the new entity's
+        embedding against the FROZEN trained params on its own slice of
+        the training NCE objective — its text windows as positives,
+        lm_stats-synthesized background windows as negatives
+        (models.lse.fold_in_entity_gradient). The result lives in the
+        trained score geometry, so it merges raw, with no calibration map;
+        a folded twin of a trained entity ranks within tolerance of the
+        original (tests/test_foldin.py). Costs ~300 tiny optimizer steps
+        per batch — one extra dispatch."""
         import numpy as np
 
         from sert_tpu.models import lse as lse_model
 
+        if method not in ("affine", "gradient"):
+            raise ValueError(f"unknown fold-in method {method!r}: "
+                             "use 'affine' or 'gradient'")
         if not self.recipe.model.model.startswith("lse"):
             raise ValueError(
                 "fold-in needs the LSE family: log-linear candidates exist "
@@ -195,67 +291,207 @@ class EntitySearcher:
                 if not ids:
                     raise ValueError(
                         f"entity {name!r}: no in-vocab token in its text")
-                v = np.asarray(lse_model.fold_in_entity(
-                    self.params, ids, self.recipe.model,
-                    window_size=self.recipe.data.window_size))
-                v = v / max(float(np.linalg.norm(v)), 1e-9)
+                if method == "gradient":
+                    # The fold must live in the geometry the index was
+                    # TRAINED in, which differs by objective (both paths
+                    # measured on folded twins of trained entities,
+                    # tests/test_foldin.py):
+                    # * softmax-family (lse_full / sampled_softmax):
+                    #   softmax CE drives each row toward the mean rep of
+                    #   its own windows — the f-image IS the trained
+                    #   direction (cos 0.94 to the true row at E=900;
+                    #   running an optimizer on top only hurts, any
+                    #   contrastive refit drifts to 0.27). Fold = f-image
+                    #   rescaled to the population median norm, scored
+                    #   raw.
+                    # * binary NCE: the trained rows are margin
+                    #   separators, NOT aligned with the rep cone (f-image
+                    #   cos 0.07); refitting the entity's own slice of the
+                    #   NCE objective against real collection windows
+                    #   recovers the geometry (cos 0.93), then the
+                    #   background-moment match places it in the
+                    #   population.
+                    mcfg = self.recipe.model
+                    if (mcfg.model == "lse_full"
+                            or mcfg.objective == "sampled_softmax"):
+                        v = np.asarray(lse_model.fold_in_entity(
+                            self.params, ids, mcfg,
+                            window_size=self.recipe.data.window_size))
+                        v = v * (self._trained_stats()[0]
+                                 / max(float(np.linalg.norm(v)), 1e-9))
+                    else:
+                        v = np.asarray(lse_model.fold_in_entity_gradient(
+                            self.params, ids, mcfg,
+                            self._background_reps(raw=True),
+                            window_size=self.recipe.data.window_size))
+                        v = self._match_trained_moments(v)
+                else:
+                    v = np.asarray(lse_model.fold_in_entity(
+                        self.params, ids, self.recipe.model,
+                        window_size=self.recipe.data.window_size))
+                    v = v / max(float(np.linalg.norm(v)), 1e-9)
+                    # The probe is term-capped exactly like real queries
+                    # are (pad_queries truncation), so `top` is the trained
+                    # index's response to this content AS A QUERY — the
+                    # scale searches actually happen on.
+                    probes[name] = ids[:_MAX_QUERY_TERMS]
                 names.append(name)
                 vecs.append(v)
-                # The probe is term-capped exactly like real queries are
-                # (pad_queries truncation), so `top` is the trained index's
-                # response to this content AS A QUERY — the scale searches
-                # actually happen on.
-                probes[name] = ids[:_MAX_QUERY_TERMS]
-            run = self._score(probes)   # ONE batched engine call
-            floors = self._background_reps() @ np.stack(vecs).T  # [bg, n]
+            if probes:   # affine calibration: ONE batched engine call
+                run = self._score(probes)
+                floors = (self._background_reps()
+                          @ np.stack([vecs[names.index(n)]
+                                      for n in probes]).T)   # [bg, n_aff]
             spans = []
             for j, name in enumerate(names):
+                if name not in probes:   # gradient: raw trained-geometry
+                    spans.append((0.0, 0.0))
+                    continue
                 probe = run[name]
                 # A non-positive probe top means the trained index calls
                 # this content noise; folded scores clamp to 0 there (a
                 # negative scale would invert the folded ranking).
                 top = max(float(probe[0][1]), 0.0) if probe else 0.0
-                spans.append((float(floors[:, j].mean()), top))
-            # vecs/spans BEFORE names: entries only append, so a concurrent
-            # reader pairing names[i] with vecs[i]/spans[i] always sees a
-            # consistent prefix.
+                col = list(probes).index(name)
+                spans.append((float(floors[:, col].mean()), top))
+            # vecs/spans/raw BEFORE names: entries only append, so a
+            # concurrent reader pairing names[i] with vecs[i]/spans[i]
+            # always sees a consistent prefix.
             stacked = np.stack(vecs)
             spn = np.asarray(spans, np.float64)
+            raw = np.asarray([n not in probes for n in names], bool)
             self._extra_vecs = (stacked if self._extra_vecs is None else
                                 np.concatenate([self._extra_vecs, stacked]))
             self._extra_spans = (spn if self._extra_spans is None else
                                  np.concatenate([self._extra_spans, spn]))
+            self._extra_raw = (raw if self._extra_raw is None else
+                               np.concatenate([self._extra_raw, raw]))
             self._extra_names = self._extra_names + names
         return len(names)
 
-    def _background_reps(self, n_windows: int = 64, seed: int = 0):
-        """[n, d_e] unit reps of random background windows, sampled from
-        the collection term distribution (lm_stats if present, else
-        uniform vocab) — the yardstick for a folded entity's non-match
-        response. Deterministic; computed once."""
+    def _background_reps(self, n_windows: int = 64, seed: int = 0,
+                         raw: bool = False):
+        """[n, d_e] reps of random background windows, sampled from the
+        collection term distribution (lm_stats if present, else uniform
+        vocab). Deterministic; computed once per variant. Unit-normalized
+        by default (the affine calibration's cosine yardstick);
+        ``raw=True`` returns 2048 UNNORMALIZED reps — the negative pool the
+        gradient fold-in optimizes against, in training's raw-score
+        geometry."""
         import numpy as np
 
         from sert_tpu.models import lse as lse_model
-        if getattr(self, "_bg_reps", None) is None:
+        attr = "_bg_reps_raw" if raw else "_bg_reps"
+        if getattr(self, attr, None) is None:
             rng = np.random.default_rng(seed)
-            V = len(self.vocab)
-            w = self.recipe.data.window_size
-            try:
-                from sert_tpu.models.lm import load_lm
-                lm, _, _ = load_lm(self.data_dir)
-                p = lm.stats.collection_counts.astype(np.float64)
-                p = p / p.sum() if p.sum() > 0 else None
-            except (FileNotFoundError, ValueError):
-                p = None
-            wins = rng.choice(V, size=(n_windows, w), p=p).astype(np.int32)
+            wins = lens = None
+            if raw:
+                # The gradient fold-in discriminates against the ACTUAL
+                # collection — sample real training windows (they carry
+                # the sibling structure iid term draws cannot), falling
+                # back to lm_stats synthesis if the shards are gone.
+                n_windows = max(n_windows, 2048)
+                try:
+                    from sert_tpu.data.instances import InstanceDataset
+                    shard = InstanceDataset(self.data_dir).shard_paths[0]
+                    z = np.load(shard)
+                    take = min(n_windows, z["windows"].shape[0])
+                    sel = rng.choice(z["windows"].shape[0], size=take,
+                                     replace=False)
+                    wins = z["windows"][np.sort(sel)].astype(np.int32)
+                    lens = z["lengths"][np.sort(sel)].astype(np.int32)
+                except (FileNotFoundError, KeyError, IndexError,
+                        AttributeError):
+                    pass
+            if wins is None:
+                V = len(self.vocab)
+                w = self.recipe.data.window_size
+                try:
+                    from sert_tpu.models.lm import load_lm
+                    lm, _, _ = load_lm(self.data_dir)
+                    p = lm.stats.collection_counts.astype(np.float64)
+                    p = p / p.sum() if p.sum() > 0 else None
+                except (FileNotFoundError, ValueError):
+                    p = None
+                wins = rng.choice(V, size=(n_windows, w), p=p).astype(
+                    np.int32)
+                lens = np.full(n_windows, w, np.int32)
             reps = np.asarray(lse_model.window_rep(
-                self.params, wins, np.full(n_windows, w, np.int32),
-                self.recipe.model))
-            # np.asarray of a jax array is a read-only view: divide OUT of
-            # place.
-            self._bg_reps = reps / np.maximum(
-                np.linalg.norm(reps, axis=-1, keepdims=True), 1e-9)
-        return self._bg_reps
+                self.params, wins, lens, self.recipe.model))
+            if not raw:
+                # np.asarray of a jax array is a read-only view: divide
+                # OUT of place.
+                reps = reps / np.maximum(
+                    np.linalg.norm(reps, axis=-1, keepdims=True), 1e-9)
+            setattr(self, attr, reps)
+        return getattr(self, attr)
+
+    def _trained_stats(self, sample: int = 4096):
+        """Population statistics of the trained entity rows (sampled — the
+        matrix can be sharded and 10M rows tall), cached: (median row
+        norm, median per-row mean background cosine). The yardsticks a
+        gradient-folded vector is matched against."""
+        import numpy as np
+
+        if getattr(self, "_trained_stats_cache", None) is None:
+            E = self.num_entities
+            idx = np.linspace(0, E - 1, num=min(sample, E)).astype(np.int64)
+            rows = np.asarray(self.params["entity_emb"][idx], np.float32)
+            norms = np.linalg.norm(rows, axis=-1)
+            rows_n = rows / np.maximum(norms[:, None], 1e-9)
+            neg = self._background_reps(raw=True)
+            neg_n = neg / np.maximum(
+                np.linalg.norm(neg, axis=-1, keepdims=True), 1e-9)
+            bg = (neg_n @ rows_n.T).mean(axis=0)       # per-row bg mean cos
+            self._trained_stats_cache = (float(np.median(norms)),
+                                         float(np.median(bg)))
+        return self._trained_stats_cache
+
+    def _match_trained_moments(self, v):
+        """Place a gradient-folded vector in the trained POPULATION.
+
+        Two measured mismatches remain after the NCE fit (both checked on
+        a folded twin of a trained entity, tests/test_foldin.py):
+
+        * background response: NCE pushes unrelated responses below ~0 but
+          not as anti-correlated as training's sibling competition made
+          the real rows (bg-cos −0.43 vs the population's −0.53), so a
+          folded entity floats ~5-10 ranks high on unrelated queries.
+          Fix: shift v against the mean background direction until its
+          mean background cosine equals the trained rows' median
+          (monotonic in the shift — bisection; the shift also tightens
+          direction agreement with the true row, 0.90 → 0.91 cos).
+        * norm: full-batch adam converges the free-norm optimum ~3x past
+          where SGD left the trained rows, which would inflate
+          dot-similarity scores. Fix: rescale to the population median
+          norm (no-op for cosine recipes).
+        """
+        import numpy as np
+
+        norm_med, bg_target = self._trained_stats()
+        neg = self._background_reps(raw=True)
+        neg_n = neg / np.maximum(
+            np.linalg.norm(neg, axis=-1, keepdims=True), 1e-9)
+        u = neg_n.mean(axis=0)
+        u = u / max(float(np.linalg.norm(u)), 1e-9)
+        vn = v / max(float(np.linalg.norm(v)), 1e-9)
+
+        def bg(a):
+            w = vn - a * u
+            w = w / max(float(np.linalg.norm(w)), 1e-9)
+            return float((neg_n @ w).mean())
+
+        lo, hi = 0.0, 4.0
+        if bg(lo) > bg_target:          # only shift DOWN toward the target
+            for _ in range(30):
+                mid = 0.5 * (lo + hi)
+                if bg(mid) > bg_target:
+                    lo = mid
+                else:
+                    hi = mid
+            vn = vn - 0.5 * (lo + hi) * u
+            vn = vn / max(float(np.linalg.norm(vn)), 1e-9)
+        return vn * norm_med
 
     @property
     def num_extra_entities(self) -> int:
@@ -269,7 +505,7 @@ class EntitySearcher:
         exactly like the engine caps them, so trained and folded entities
         are ranked against the same query."""
         names, vecs = self._extra_names, self._extra_vecs   # prefix-stable
-        spans = self._extra_spans
+        spans, raw_mask = self._extra_spans, self._extra_raw
         if not names:
             return [h[:kk] for h in hits_list]
         import numpy as np
@@ -283,15 +519,24 @@ class EntitySearcher:
         for i, c in enumerate(capped):
             t[i, :len(c)] = c
             n_t[i] = len(c)
-        reps = np.asarray(lse_model.window_rep(
+        reps_raw = np.asarray(lse_model.window_rep(
             self.params, t, n_t, self.recipe.model))         # [Q, d_e]
-        reps = reps / np.maximum(
-            np.linalg.norm(reps, axis=-1, keepdims=True), 1e-9)
-        n = min(len(names), vecs.shape[0], spans.shape[0])
-        cos = reps @ vecs[:n].T                              # [Q, n]
+        reps = reps_raw / np.maximum(
+            np.linalg.norm(reps_raw, axis=-1, keepdims=True), 1e-9)
+        n = min(len(names), vecs.shape[0], spans.shape[0], raw_mask.shape[0])
+        vecs_n = vecs[:n] / np.maximum(
+            np.linalg.norm(vecs[:n], axis=-1, keepdims=True), 1e-9)
+        cos = reps @ vecs_n.T                                # [Q, n]
         floor, top = spans[:n, 0], spans[:n, 1]
         side = (np.maximum(cos - floor[None, :], 0.0)
                 / np.maximum(1.0 - floor[None, :], 1e-9) * top[None, :])
+        # Gradient-folded entities live in the trained geometry: score them
+        # exactly as the engine scores trained rows (cosine or raw dot),
+        # no calibration map.
+        if raw_mask[:n].any():
+            raw_side = (cos if self.score_cfg.similarity == "cosine"
+                        else reps_raw @ vecs[:n].T)
+            side = np.where(raw_mask[:n][None, :], raw_side, side)
         out = []
         for qi, hits in enumerate(hits_list):
             merged = list(hits) + list(zip(names[:n], side[qi].tolist()))
@@ -391,11 +636,15 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         url = urlparse(self.path)
         if url.path == "/entities":
-            # Fold-in: {"entities": [{"name": ..., "text": ...}, ...]}
+            # Fold-in: {"entities": [{"name": ..., "text": ...}, ...],
+            #           "method": "affine" (default) | "gradient"}
             try:
                 n = max(int(self.headers.get("Content-Length", 0)), 0)
                 req = json.loads(self.rfile.read(n) or b"{}")
                 items = req.get("entities")
+                method = req.get("method", "affine")
+                if not isinstance(method, str):
+                    raise ValueError("'method' must be a string")
                 if (not isinstance(items, list) or not items
                         or not all(isinstance(e, dict)
                                    and isinstance(e.get("name"), str)
@@ -406,7 +655,7 @@ class _Handler(BaseHTTPRequestHandler):
                         "'entities' must be a non-empty list of "
                         "{name: str, text: str} objects")
                 added = self.searcher.add_entities(
-                    [(e["name"], e["text"]) for e in items])
+                    [(e["name"], e["text"]) for e in items], method=method)
             except (ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
                 return

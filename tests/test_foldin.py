@@ -36,6 +36,23 @@ def lse_workdir(tmp_path_factory):
     return root, recipe, col
 
 
+@pytest.fixture(scope="module")
+def lse_ss_workdir(tmp_path_factory):
+    """A sampled_softmax-trained LSE run (the softmax-family fold-in
+    geometry differs from NCE's — serving.add_entities dispatch)."""
+    import dataclasses
+    root = tmp_path_factory.mktemp("foldin_ss")
+    recipe = recipes.tiny_recipe("lse", objective="sampled_softmax",
+                                 num_negatives=16)
+    recipe = dataclasses.replace(recipe, score=dataclasses.replace(
+        recipe.score, similarity="cosine"))
+    col = recipes.tiny_spec(seed=7).build()
+    data = str(root / "data")
+    pipeline.prepare_collection(col, data, recipe)
+    pipeline.train_from_dir(recipe, data, str(root / "run"), resume=False)
+    return root, recipe, col
+
+
 class TestFoldIn:
     def test_fold_in_vector_is_mean_window_rep(self, lse_workdir):
         root, recipe, col = lse_workdir
@@ -129,6 +146,134 @@ class TestFoldIn:
             s.add_entities([(col.entities[0], "some text")])
         with pytest.raises(ValueError, match="no in-vocab"):
             s.add_entities([("brand-new", "zzz-never-seen-term")])
+        with pytest.raises(ValueError, match="method"):
+            s.add_entities([("brand-new", "some text")], method="magic")
+
+    def test_gradient_twin_ranks_with_original_across_topics(
+            self, lse_workdir):
+        """The gradient fold-in contract (the principled path): a folded
+        twin of a trained entity — same associated text, embedding
+        optimized against frozen params — must track the ORIGINAL's
+        ranking across the whole topic set, scored raw in the trained
+        geometry (no calibration map)."""
+        root, recipe, col = lse_workdir
+        s = EntitySearcher(recipe, str(root / "data"), str(root / "run"),
+                           k=10)
+        target = col.entities[6]
+        text = " ".join(t for d, es in col.doc_entities.items()
+                        for t in col.docs[d].split() if target in es)
+        assert s.add_entities([("grad-twin", text)], method="gradient") == 1
+        assert bool(s._extra_raw[0])     # scored raw, not affine
+        kk = s.k_max
+        orig_sc, twin_sc, rank_gap, top_gaps = [], [], [], []
+        for tid in sorted(col.topics):
+            hits = s.search(col.topics[tid], k=kk)
+            names = [n for n, _ in hits]
+            scores = dict(hits)
+            if target not in names:
+                continue
+            assert "grad-twin" in names, tid
+            orig_sc.append(scores[target])
+            twin_sc.append(scores["grad-twin"])
+            gap = abs(names.index("grad-twin") - names.index(target))
+            rank_gap.append(gap)
+            rt = names.index(target)
+            # retrieval-relevant region: the original is top-5 AND score-
+            # separated from the field below (packed mid-fields differ by
+            # <0.01 cosine — rank offsets there are noise, not geometry)
+            vals = [v for _, v in hits]
+            if rt < 5 and scores[target] > vals[min(5, len(vals) - 1)] + 0.1:
+                top_gaps.append(gap)
+        assert len(rank_gap) >= len(col.topics) // 2
+        orig_sc, twin_sc = np.asarray(orig_sc), np.asarray(twin_sc)
+        # epsilon contract: the twin SCORES like the original across the
+        # topic set (mid-field ranks are packed within ~0.01 cosine in a
+        # 32-entity index, so per-topic rank offsets there are noise, not
+        # geometry)
+        assert np.abs(orig_sc - twin_sc).max() < 0.2
+        assert np.abs(orig_sc - twin_sc).mean() < 0.1
+        assert np.corrcoef(orig_sc, twin_sc)[0, 1] > 0.95
+        # where the original is RETRIEVED (top-5), the twin sits beside it
+        assert top_gaps and max(top_gaps) <= 4
+        assert sum(rank_gap) / len(rank_gap) <= 5.0
+
+    def test_gradient_twin_softmax_family(self, lse_ss_workdir):
+        """Softmax-family dispatch: for a sampled_softmax-trained index the
+        gradient method folds the f-image at the population norm (softmax
+        CE aligns trained rows with their mean window rep — measured cos
+        0.94 at E=900; a contrastive refit lands at 0.27), scored raw."""
+        root, recipe, col = lse_ss_workdir
+        s = EntitySearcher(recipe, str(root / "data"), str(root / "run"),
+                           k=10)
+        target = col.entities[6]
+        text = " ".join(t for d, es in col.doc_entities.items()
+                        for t in col.docs[d].split() if target in es)
+        assert s.add_entities([("ss-twin", text)], method="gradient") == 1
+        assert bool(s._extra_raw[0])
+        import numpy as np
+        nm, _ = s._trained_stats()
+        assert float(np.linalg.norm(s._extra_vecs[0])) == pytest.approx(
+            nm, rel=1e-5)      # population norm, not the raw f-image's
+        orig_sc, twin_sc = [], []
+        for tid in sorted(col.topics):
+            hits = s.search(col.topics[tid], k=s.k_max)
+            sc = dict(hits)
+            if target in sc and "ss-twin" in sc:
+                orig_sc.append(sc[target])
+                twin_sc.append(sc["ss-twin"])
+        assert len(orig_sc) >= len(col.topics) // 2
+        orig_sc, twin_sc = np.asarray(orig_sc), np.asarray(twin_sc)
+        assert np.abs(orig_sc - twin_sc).max() < 0.2
+        assert np.corrcoef(orig_sc, twin_sc)[0, 1] > 0.9
+
+    def test_gradient_fold_in_does_not_dominate_unrelated(self, lse_workdir):
+        root, recipe, col = lse_workdir
+        s = EntitySearcher(recipe, str(root / "data"), str(root / "run"),
+                           k=10)
+        target = col.entities[10]
+        text = " ".join(t for d, es in col.doc_entities.items()
+                        for t in col.docs[d].split() if target in es)
+        s.add_entities([("grad-10", text)], method="gradient")
+        other = col.entities[2]
+        tid = [t for t in col.topics if other in col.qrels[t]][0]
+        hits = s.search(col.topics[tid], k=10)
+        names = [n for n, _ in hits]
+        assert other in names
+        assert ("grad-10" not in names
+                or names.index("grad-10") > names.index(other))
+
+    def test_gradient_vector_beats_f_image_on_nce_objective(self,
+                                                            lse_workdir):
+        """The optimization must actually optimize: the returned v scores
+        strictly better than its own f-image init on the fold-in NCE
+        objective (positives = text windows, negatives = background)."""
+        import numpy as np
+
+        from sert_tpu.models import lse as lse_model
+        root, recipe, col = lse_workdir
+        s = EntitySearcher(recipe, str(root / "data"), str(root / "run"))
+        resolved = s.recipe
+        target = col.entities[1]
+        text = " ".join(t for d, es in col.doc_entities.items()
+                        for t in col.docs[d].split() if target in es)
+        ids = s.encode(text)
+        neg = np.asarray(s._background_reps(raw=True))
+        w = resolved.data.window_size
+        v_f = np.asarray(lse_model.fold_in_entity(
+            s.params, ids, resolved.model, window_size=w))
+        v_g = np.asarray(lse_model.fold_in_entity_gradient(
+            s.params, ids, resolved.model, neg, window_size=w))
+        wins, lens = lse_model._entity_windows(
+            np.asarray(ids, np.int32), w)
+        pos = np.asarray(lse_model.window_rep(
+            s.params, wins, lens, resolved.model))
+
+        def nce(v):
+            sig = lambda x: -np.logaddexp(0.0, -x)   # log sigmoid
+            k = resolved.model.num_negatives
+            return -(np.mean(sig(pos @ v)) + k * np.mean(sig(-(neg @ v))))
+
+        assert nce(v_g) < nce(v_f) - 1e-3
 
     def test_loglinear_rejected(self, tmp_path):
         recipe = recipes.tiny_recipe("loglinear")

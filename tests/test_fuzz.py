@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from sert_tpu.eval import metrics
 from sert_tpu.models import api
 from sert_tpu.ops.exact_topk import exact_topk, hierarchical_topk

@@ -22,6 +22,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 N_PROCS = 2
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -1,0 +1,226 @@
+"""Million-entity end-to-end stress: train -> score -> evaluate -> audit.
+
+BASELINE.json config 5's spirit at TRAINING time (round-2 VERDICT missing
+item 3): the 10M scoring benchmark proves the engine, this proves the
+whole pipeline — hard-mode synthetic collection at E=1,000,000, sampled-
+softmax LSE (bf16 compute, batch-shared negatives), Pallas-engine scoring,
+native metrics — closing the train->query->evaluate loop at serving scale
+on one chip.
+
+The workdir PERSISTS (default /tmp/stress_1m) so the trained entity
+matrix doubles as the realistic-geometry input for the bf16-prefilter
+exactness audit (--audit; round-2 VERDICT item 5): trained, clustered
+embeddings are exactly the case where top-k margins can drop below bf16
+resolution (ops/exact_topk.py precision caveat). The audit compares the
+default bf16-prefilter engine and the prefilter_dtype="float32" escape
+hatch against a float64 host oracle and reports realized miss rates.
+
+Usage:
+  python benchmarks/stress_1m.py               # full run (gen+prep+train+eval)
+  python benchmarks/stress_1m.py --audit       # reuse workdir, audit only
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python benchmarks/stress_1m.py --dryrun-mesh   # sharded-step proof
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import time
+
+import numpy as np
+
+
+def build_recipe(E, vocab_size):
+    from sert_tpu.utils.config import (DataConfig, ModelConfig, RecipeConfig,
+                                       ScoreConfig, TrainConfig)
+    dcfg = DataConfig(window_size=8, vocab_min_count=1, vocab_max_size=300_000)
+    return RecipeConfig(
+        name="stress1m",
+        data=dcfg,
+        model=ModelConfig(model="lse", vocab_size=vocab_size, num_entities=E,
+                          word_dim=128, entity_dim=128,
+                          objective="sampled_softmax", num_negatives=1024,
+                          negative_distribution="unigram",
+                          compute_dtype="bfloat16"),
+        train=TrainConfig(batch_size=4096, num_epochs=3, optimizer="adam",
+                          learning_rate=3e-3, steps_per_call=16,
+                          log_every_steps=0),
+        score=ScoreConfig(top_k=100, similarity="cosine", engine="pallas"))
+
+
+def run_pipeline(workdir, E):
+    from sert_tpu import pipeline
+    from sert_tpu.data import Associations, EntityRegistry, Vocabulary
+    from sert_tpu.data.prepare import encode_queries, prepare
+    from sert_tpu.data.synthetic import make_synthetic
+    from sert_tpu.eval.metrics import evaluate_run
+    from sert_tpu.scoring.run import score_topics
+
+    os.makedirs(workdir, exist_ok=True)
+    t0 = time.time()
+    col = make_synthetic(num_entities=E, vocab_size=250_000,
+                         docs_per_entity=1, doc_len=40, signature_size=8,
+                         num_topics=200, seed=13, hard=True, signal=0.6)
+    print(f"gen {time.time()-t0:.0f}s ({len(col.docs)} docs)", flush=True)
+
+    reg = EntityRegistry(col.entities)
+    assoc = Associations()
+    for d, es in col.doc_entities.items():
+        for e in es:
+            assoc.add(d, reg.id(e))
+    ddir = os.path.join(workdir, "data")
+    t0 = time.time()
+    recipe = build_recipe(E, 0)
+    meta = prepare(col.docs, assoc, reg, ddir, recipe.data)
+    print(f"prepare {time.time()-t0:.0f}s ({meta['num_instances']} instances,"
+          f" vocab {meta['vocab_size']})", flush=True)
+
+    t0 = time.time()
+    state, recipe = pipeline.train_from_dir(recipe, ddir,
+                                            os.path.join(workdir, "run"))
+    steps = int(state.step)
+    train_s = time.time() - t0
+    print(f"train {train_s:.0f}s ({steps} steps, "
+          f"{steps/max(train_s,1e-9):.1f} steps/s)", flush=True)
+
+    vocab = Vocabulary.load(ddir + "/vocab.json")
+    encoded = encode_queries(col.topics, vocab, recipe.data)
+    with open(os.path.join(workdir, "topics.json"), "w") as fh:
+        json.dump({"topics": col.topics, "qrels": col.qrels}, fh)
+    t0 = time.time()
+    run = score_topics(state.params, recipe.model, encoded, reg.names,
+                       recipe.score)
+    print(f"score {time.time()-t0:.1f}s (200 topics x {E})", flush=True)
+    res = evaluate_run(run, col.qrels)
+    out = {k: round(v, 4) for k, v in res["all"].items()
+           if k in ("ndcg@100", "recip_rank", "recall@100", "p@5")}
+    print("metrics:", out, flush=True)
+    return out
+
+
+def audit_prefilter(workdir, n_queries=64, k=100):
+    """Measured bf16-prefilter miss rate on the TRAINED 1M matrix vs a
+    float64 host oracle, for both prefilter dtypes."""
+    import jax
+    import jax.numpy as jnp
+
+    from sert_tpu import pipeline
+    from sert_tpu.data.instances import InstanceDataset
+    from sert_tpu.data.prepare import encode_queries
+    from sert_tpu.ops.exact_topk import exact_topk_prepared, prepare_entities
+    from sert_tpu.scoring.scorer import _entity_matrix, _query_reps_and_terms
+
+    ddir, rdir = os.path.join(workdir, "data"), os.path.join(workdir, "run")
+    ds = InstanceDataset(ddir)
+    recipe = pipeline.resolve_model_config(
+        build_recipe(0, 0), ds.meta)
+    params, vocab, reg = pipeline.load_scorer(rdir, ddir, recipe)
+    with open(os.path.join(workdir, "topics.json")) as fh:
+        saved = json.load(fh)
+    encoded = encode_queries(saved["topics"], vocab, recipe.data)
+    live = [ids for ids in encoded.values() if ids][:n_queries]
+    T = max(len(c) for c in live)
+    t_ids = np.zeros((len(live), T), np.int32)
+    n_t = np.zeros((len(live),), np.int32)
+    for i, c in enumerate(live):
+        t_ids[i, :len(c)] = c
+        n_t[i] = len(c)
+
+    M = _entity_matrix(params, recipe.model, recipe.score.similarity)
+    R, _, _ = _query_reps_and_terms(params, recipe.model,
+                                    jnp.asarray(t_ids), jnp.asarray(n_t),
+                                    recipe.score.similarity)
+    R_host = np.asarray(R, np.float64)
+    M_host = np.asarray(M, np.float64)
+
+    # float64 oracle top-k sets (host; the HIGHEST-precision reference —
+    # the TPU "fp32" dense path itself multiplies in bf16 passes)
+    t0 = time.time()
+    scores = R_host @ M_host.T                     # [Q, E]
+    oracle_idx = np.argpartition(-scores, k, axis=1)[:, :k]
+    print(f"float64 oracle {time.time()-t0:.0f}s", flush=True)
+
+    out = {}
+    for dtype in ("bfloat16", "float32"):
+        prep = prepare_entities(M, prefilter_dtype=dtype)
+        s, i = exact_topk_prepared(R.astype(jnp.float32), prep, k=k)
+        got = np.asarray(i)
+        missed = 0
+        boundary_eps = []
+        for q in range(got.shape[0]):
+            miss = set(oracle_idx[q]) - set(got[q].tolist())
+            # ties at the k-th value are interchangeable, not misses
+            kth = np.partition(-scores[q], k - 1)[k - 1]
+            real = [m for m in miss if -scores[q][m] < kth - 1e-12]
+            missed += len(real)
+            for m in real:
+                boundary_eps.append(float(scores[q][m] + kth))
+        rate = missed / (got.shape[0] * k)
+        out[dtype] = {"missed": missed, "rate": rate,
+                      "worst_margin": (max(boundary_eps)
+                                       if boundary_eps else 0.0)}
+        print(f"prefilter {dtype}: {missed} misses / "
+              f"{got.shape[0] * k} slots (rate {rate:.2e})", flush=True)
+    return out
+
+
+def dryrun_mesh(E=1_000_000):
+    """Prove the SAME pipeline configuration shards: one sharded
+    sampled-softmax train step with the stress model config on the
+    current (fake-device) mesh. Caller must set JAX_PLATFORMS=cpu and
+    XLA_FLAGS=--xla_force_host_platform_device_count=8."""
+    import jax
+    import jax.numpy as jnp
+
+    from sert_tpu.parallel.mesh import make_mesh
+    from sert_tpu.parallel.train import make_sharded_train_step
+
+    import dataclasses
+
+    n = len(jax.devices())
+    mesh = make_mesh((2, n // 2) if n >= 4 else (1, n))
+    recipe = build_recipe(E, 250_000)
+    tcfg = dataclasses.replace(recipe.train, batch_size=64,
+                               donate_state=False, steps_per_call=1,
+                               mesh_shape=mesh.devices.shape)
+    step, init_fn, put_fn = make_sharded_train_step(
+        recipe.model, tcfg, mesh,
+        noise=jnp.zeros((E,), jnp.float32))
+    state = init_fn()
+    rng = np.random.default_rng(0)
+    batch = put_fn({
+        "windows": rng.integers(0, 250_000, size=(64, 8)).astype(np.int32),
+        "lengths": np.full(64, 8, np.int32),
+        "entities": rng.integers(0, E, size=(64,)).astype(np.int32),
+    })
+    state, metrics = step(state, batch)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), loss
+    print(f"dryrun mesh {mesh.devices.shape}: sharded sampled-softmax step "
+          f"at E={E} OK (loss {loss:.3f})", flush=True)
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/stress_1m")
+    ap.add_argument("--entities", type=int, default=1_000_000)
+    ap.add_argument("--audit", action="store_true",
+                    help="prefilter exactness audit on the existing workdir")
+    ap.add_argument("--dryrun-mesh", action="store_true")
+    args = ap.parse_args()
+    if args.dryrun_mesh:
+        # The axon site plugin can override JAX_PLATFORMS after env setup
+        # (same workaround as tests/conftest.py / __graft_entry__): pin the
+        # platform through jax.config before first backend use.
+        import jax
+        jax.config.update("jax_platforms",
+                          os.environ.get("SERT_TEST_PLATFORM", "cpu"))
+        dryrun_mesh(args.entities)
+    elif args.audit:
+        print(json.dumps(audit_prefilter(args.workdir), indent=2))
+    else:
+        run_pipeline(args.workdir, args.entities)

@@ -67,16 +67,19 @@ def run_pipeline(workdir, E):
     print(f"gen {time.time()-t0:.0f}s ({len(col.docs)} docs)", flush=True)
 
     reg = EntityRegistry(col.entities)
-    assoc = Associations()
-    for d, es in col.doc_entities.items():
-        for e in es:
-            assoc.add(d, reg.id(e))
     ddir = os.path.join(workdir, "data")
-    t0 = time.time()
     recipe = build_recipe(E, 0)
-    meta = prepare(col.docs, assoc, reg, ddir, recipe.data)
-    print(f"prepare {time.time()-t0:.0f}s ({meta['num_instances']} instances,"
-          f" vocab {meta['vocab_size']})", flush=True)
+    if os.path.exists(os.path.join(ddir, "instances.meta.json")):
+        print("prepare: reusing existing data dir", flush=True)
+    else:
+        assoc = Associations()
+        for d, es in col.doc_entities.items():
+            for e in es:
+                assoc.add(d, reg.id(e))
+        t0 = time.time()
+        meta = prepare(col.docs, assoc, reg, ddir, recipe.data)
+        print(f"prepare {time.time()-t0:.0f}s ({meta['num_instances']} "
+              f"instances, vocab {meta['vocab_size']})", flush=True)
 
     t0 = time.time()
     state, recipe = pipeline.train_from_dir(recipe, ddir,

@@ -62,31 +62,78 @@ class PreparedEntities(NamedTuple):
     dim: int
     bin_width: int = LANES
     te: int = 4096
+    # layout="clustered": row r of the staged matrix is M[perm[r]] — similar
+    # entities made bin-adjacent so one query's winners span FEWER bins
+    # (adaptive_bins exploits this; indices are mapped back on return).
+    perm: Optional[jax.Array] = None
 
 
 jax.tree_util.register_pytree_node(
     PreparedEntities,
-    lambda p: ((p.Mp, p.M_binned),
+    lambda p: ((p.Mp, p.M_binned, p.perm),
                (p.num_entities, p.dim, p.bin_width, p.te)),
-    lambda aux, ch: PreparedEntities(ch[0], ch[1], *aux),
+    lambda aux, ch: PreparedEntities(ch[0], ch[1], *aux, perm=ch[2]),
 )
+
+
+def _cluster_order(M: jax.Array, n_clusters: int = 256, iters: int = 8,
+                   sample: int = 1 << 16, seed: int = 0) -> jax.Array:
+    """[E] permutation grouping directionally-similar rows (coarse spherical
+    k-means on a subsample, then a stable sort by assignment). One-off at
+    staging: the heavy step is the final [E, d] x [d, C] assignment."""
+    E, d = M.shape
+    Xn = M.astype(jnp.float32)
+    Xn = Xn / jnp.maximum(jnp.linalg.norm(Xn, axis=-1, keepdims=True), 1e-9)
+    key = jax.random.key(seed)
+    k1, k2 = jax.random.split(key)
+    C = Xn[jax.random.choice(k1, E, (min(n_clusters, E),), replace=False)]
+    sub = Xn[jax.random.choice(k2, E, (min(sample, E),), replace=False)]
+    for _ in range(iters):
+        a = jnp.argmax(jnp.dot(sub, C.T,
+                               preferred_element_type=jnp.float32), axis=1)
+        tot = jax.ops.segment_sum(sub, a, num_segments=C.shape[0])
+        cnt = jax.ops.segment_sum(jnp.ones((sub.shape[0],), jnp.float32), a,
+                                  num_segments=C.shape[0])
+        Cn = tot / jnp.maximum(cnt[:, None], 1.0)
+        # keep empty clusters' previous centroid instead of collapsing to 0
+        Cn = jnp.where(cnt[:, None] > 0, Cn, C)
+        C = Cn / jnp.maximum(jnp.linalg.norm(Cn, axis=-1, keepdims=True),
+                             1e-9)
+    assign = jnp.argmax(jnp.dot(Xn, C.T,
+                                preferred_element_type=jnp.float32), axis=1)
+    return jnp.argsort(assign, stable=True).astype(jnp.int32)
 
 
 def prepare_entities(M: jax.Array, te: int = 4096,
                      rescore_dtype: str = "float32",
                      prefilter_dtype: str = "bfloat16",
-                     bin_width: int = LANES) -> PreparedEntities:
+                     bin_width: int = LANES,
+                     layout: str = "natural") -> PreparedEntities:
     """``bin_width``: entities per prefilter/rescore bin. The exactness
     argument is width-independent (top-k spans <= k+pad bins either way);
     64 halves the rescore gather bytes vs 128 but ALSO halves the gather's
     DMA block to 16KB, dropping effective bandwidth ~40% — measured a wash
-    at E=1M, so 128 stays the default (benchmarks/NOTES.md)."""
+    at E=1M, so 128 stays the default (benchmarks/NOTES.md).
+
+    ``layout="clustered"`` permutes rows so directionally-similar entities
+    share bins (coarse spherical k-means order; the permutation is undone
+    on returned indices). A query's top-k are mutually similar, so they
+    then span FEWER bins — measured on a trained 50k matrix: mean 76
+    winner-bins natural vs 50 clustered at k=100 — which is what the
+    ``adaptive_bins`` rescore in exact_topk_prepared converts into fewer
+    gather bytes. Results are exact under either layout."""
     E, d = M.shape
     rdt = jnp.bfloat16 if rescore_dtype == "bfloat16" else jnp.float32
     pdt = jnp.bfloat16 if prefilter_dtype == "bfloat16" else jnp.float32
+    perm = None
+    if layout == "clustered":
+        perm = _cluster_order(M)
+        M = M[perm]
+    elif layout != "natural":
+        raise ValueError(f"unknown layout {layout!r}")
     M_binned = _pad_to(M.astype(rdt), 0, bin_width).reshape(-1, bin_width, d)
     return PreparedEntities(prepare_binmax_matrix(M, te=te, dtype=pdt),
-                            M_binned, E, d, bin_width, te)
+                            M_binned, E, d, bin_width, te, perm=perm)
 
 
 def hierarchical_topk(x: jax.Array, k: int, m: Optional[int] = None,
@@ -129,7 +176,8 @@ def hierarchical_topk(x: jax.Array, k: int, m: Optional[int] = None,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pad_bins", "tq",
-                                             "interpret", "fused_rescore"))
+                                             "interpret", "fused_rescore",
+                                             "adaptive_bins"))
 def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
                         bias: Optional[jax.Array] = None,
                         alpha: Optional[jax.Array] = None,
@@ -137,6 +185,7 @@ def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
                         tq: int = 256,
                         interpret: Optional[bool] = None,
                         fused_rescore: bool = True,
+                        adaptive_bins: int = 0,
                         ) -> Tuple[jax.Array, jax.Array]:
     """(scores [Q, k], entity indices [Q, k]) of R @ M^T (+ alpha*bias).
 
@@ -148,6 +197,16 @@ def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
     ~8x faster than a naive per-entity gather). The entity matrix must be
     staged ONCE via prepare_entities — re-casting 512MB per call costs more
     than the sweep.
+
+    ``adaptive_bins=na`` (0 < na < k+pad_bins) makes the rescore two-phase:
+    rescore only the top ``na`` bins, take the provisional k-th value
+    theta, and accept iff EVERY query's (na+1)-th bin-max < theta — any
+    element of an unrescored bin is then provably below at least k
+    rescored candidates, so the result is exact. One batch-global
+    lax.cond falls back to the full k+pad_bins rescore otherwise. Wins
+    when winners concentrate in few bins (the ``layout="clustered"``
+    staging exists to make that true); the bin-max comparison inherits the
+    prefilter-dtype caveat above exactly like bin selection does.
     """
     from sert_tpu.ops.gather_rescore import QB, gather_rescore
 
@@ -155,6 +214,12 @@ def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
     E = prep.num_entities
     bw = prep.bin_width
     k = min(k, E)
+
+    # Clustered staging permuted the entity rows; bias arrives in ORIGINAL
+    # entity order and pairs with rows inside both kernels — permute it
+    # once here so every downstream lookup uses staged positions.
+    if prep.perm is not None and bias is not None:
+        bias = bias[prep.perm]
 
     # The sweep tile size comes from the prep stage (prep.te): a mismatched
     # te would floor the grid and silently skip the tail entity rows.
@@ -169,38 +234,56 @@ def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
     # the fallback too often at nb~116 winners / 61 groups; m=16 over the
     # (2x longer at bin_width=64) bins array measures ~0.5 ms faster than
     # flat and the fallback stays rare (NOTES.md round-2 row).
-    _, bin_idx = hierarchical_topk(bins, nb, m=16)           # [Q, nb]
-    ent_idx = (bin_idx[:, :, None] * bw
-               + jnp.arange(bw)[None, None, :]).reshape(Q, nb * bw)
-    valid = ent_idx < E
+    bin_vals, bin_idx = hierarchical_topk(bins, nb, m=16)    # [Q, nb]
 
-    if fused_rescore:
-        q_pad = (-Q) % QB
-        Rp = jnp.pad(R, ((0, q_pad), (0, 0)))
-        ip = jnp.pad(bin_idx, ((0, q_pad), (0, 0)))
-        sc = gather_rescore(Rp, prep.M_binned, ip,
-                            interpret=interpret)[:Q]         # [Q, nb*128]
+    def rescore_select(nbx: int):
+        """Exact rescore + final selection over the top ``nbx`` bins."""
+        bi = bin_idx[:, :nbx]
+        ent_idx = (bi[:, :, None] * bw
+                   + jnp.arange(bw)[None, None, :]).reshape(Q, nbx * bw)
+        valid = ent_idx < E
+
+        if fused_rescore:
+            q_pad = (-Q) % QB
+            Rp = jnp.pad(R, ((0, q_pad), (0, 0)))
+            ip = jnp.pad(bi, ((0, q_pad), (0, 0)))
+            sc = gather_rescore(Rp, prep.M_binned, ip,
+                                interpret=interpret)[:Q]     # [Q, nbx*bw]
+        else:
+            safe_idx = jax.lax.optimization_barrier(bi)
+            Mg = prep.M_binned.at[safe_idx].get(
+                mode="promise_in_bounds")                    # [Q, nbx, bw, d]
+            Mg = Mg.reshape(Q, nbx * bw, d)
+            sc = jnp.einsum("qd,qnd->qn", R.astype(Mg.dtype), Mg,
+                            preferred_element_type=jnp.float32)
+
+        if bias is not None:    # already in staged order (permuted above)
+            a = (alpha if alpha is not None
+                 else jnp.ones((Q,), jnp.float32))[:, None]
+            ent_safe = jnp.minimum(ent_idx, E - 1)
+            sc = sc + a * bias.astype(jnp.float32)[ent_safe]
+        sc = jnp.where(valid, sc, -jnp.inf)
+
+        # Final selection over the candidates, then positions -> entity ids
+        # arithmetically (pos = b*bw + l within the candidate layout; a
+        # take_along_axis gather over ent_idx costs more than the
+        # selection).
+        top_s, pos = hierarchical_topk(sc, k)
+        sel_bin = jnp.take_along_axis(bi, pos // bw, axis=1)      # [Q, k]
+        return top_s, sel_bin * bw + pos % bw
+
+    if 0 < adaptive_bins < nb:
+        top_s1, top_i1 = rescore_select(adaptive_bins)
+        theta = top_s1[:, -1]
+        need_more = jnp.any(bin_vals[:, adaptive_bins:] >= theta[:, None])
+        top_s, top_i = jax.lax.cond(
+            need_more,
+            lambda _: rescore_select(nb),
+            lambda _: (top_s1, top_i1), None)
     else:
-        safe_idx = jax.lax.optimization_barrier(bin_idx)
-        Mg = prep.M_binned.at[safe_idx].get(
-            mode="promise_in_bounds")                        # [Q, nb, bw, d]
-        Mg = Mg.reshape(Q, nb * bw, d)
-        sc = jnp.einsum("qd,qnd->qn", R.astype(Mg.dtype), Mg,
-                        preferred_element_type=jnp.float32)
-
-    if bias is not None:
-        a = (alpha if alpha is not None
-             else jnp.ones((Q,), jnp.float32))[:, None]
-        ent_safe = jnp.minimum(ent_idx, E - 1)
-        sc = sc + a * bias.astype(jnp.float32)[ent_safe]
-    sc = jnp.where(valid, sc, -jnp.inf)
-
-    # Final selection over the candidates, then positions -> entity ids
-    # arithmetically (pos = b*bw + l within the candidate layout; a
-    # take_along_axis gather over ent_idx costs more than the selection).
-    top_s, pos = hierarchical_topk(sc, k)
-    sel_bin = jnp.take_along_axis(bin_idx, pos // bw, axis=1)     # [Q, k]
-    top_i = sel_bin * bw + pos % bw
+        top_s, top_i = rescore_select(nb)
+    if prep.perm is not None:   # undo the clustered staging permutation
+        top_i = prep.perm[jnp.minimum(top_i, E - 1)]
     return top_s, top_i
 
 

@@ -115,7 +115,8 @@ def score_topics(
     mesh = None
     if engine == "pallas" and prep is None:
         from sert_tpu.ops.exact_topk import prepare_entities
-        prep = prepare_entities(_entity_matrix(params, cfg, sc.similarity))
+        prep = prepare_entities(_entity_matrix(params, cfg, sc.similarity),
+                                layout=sc.layout)
     elif engine == "distributed":
         staged = (prep if isinstance(prep, DistStaged)
                   else stage_distributed(params, cfg, sc))
@@ -134,7 +135,8 @@ def score_topics(
         if engine == "pallas":
             return pallas_topk(params, cfg, t, m, k=k,
                                similarity=sc.similarity, prep=prep,
-                               normalize=sc.normalize_scores)
+                               normalize=sc.normalize_scores,
+                               adaptive_bins=sc.adaptive_bins)
         if engine == "dense":
             scores = dense_scores(params, cfg, t, m,
                                   similarity=sc.similarity)

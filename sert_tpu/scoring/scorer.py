@@ -228,7 +228,8 @@ def ll_log_normalizer(params, cfg: ModelConfig, term_ids: jax.Array,
 def pallas_topk(params, cfg: ModelConfig, term_ids: jax.Array,
                 num_terms: jax.Array, k: int = 100,
                 similarity: str = "dot", prep=None,
-                normalize: bool = True) -> Tuple[jax.Array, jax.Array]:
+                normalize: bool = True,
+                adaptive_bins: int = 0) -> Tuple[jax.Array, jax.Array]:
     """Top-k via the fused Pallas engine (ops.exact_topk).
 
     For log-linear the prefilter ranks by the rank-equivalent un-normalized
@@ -249,7 +250,8 @@ def pallas_topk(params, cfg: ModelConfig, term_ids: jax.Array,
     bias = params["proj_b"].astype(jnp.float32) if is_ll else None
     alpha = num_terms.astype(jnp.float32) if is_ll else None
     top_s, top_i = exact_topk_prepared(R.astype(jnp.float32), prep,
-                                       bias=bias, alpha=alpha, k=k)
+                                       bias=bias, alpha=alpha, k=k,
+                                       adaptive_bins=adaptive_bins)
     if is_ll and normalize:
         const = ll_log_normalizer(params, cfg, term_ids, num_terms,
                                   similarity=similarity)

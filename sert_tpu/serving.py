@@ -99,8 +99,10 @@ class EntitySearcher:
         engine = resolve_engine(self.score_cfg, self.num_entities)
         if engine == "pallas":
             from sert_tpu.ops.exact_topk import prepare_entities
-            self.prep = prepare_entities(_entity_matrix(
-                self.params, self.recipe.model, self.score_cfg.similarity))
+            self.prep = prepare_entities(
+                _entity_matrix(self.params, self.recipe.model,
+                               self.score_cfg.similarity),
+                layout=self.score_cfg.layout)
         elif engine == "distributed":
             # Mesh placement + per-shard Pallas staging once, not per query
             # (score_topics otherwise re-stages the entity matrix per call).

@@ -119,8 +119,16 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
     def step(state: TrainState, batch: Dict[str, jax.Array]
              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, sub = jax.random.split(state.rng)
+        # The closed-over noise is an embedded constant; WITHOUT a barrier
+        # XLA constant-folds the sampling pipeline built on it (softmax +
+        # cumsum over [E]) at COMPILE time, superlinearly in E — measured
+        # 16s of fold at E=65k on CPU and a wedged multi-minute compile at
+        # E=1M on the chip. The barrier keeps the (trivial) cumsum at
+        # runtime instead.
+        nz = (jax.lax.optimization_barrier(noise)
+              if noise is not None else None)
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, batch, model_cfg, rng=sub, noise=noise)
+            state.params, batch, model_cfg, rng=sub, noise=nz)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state,

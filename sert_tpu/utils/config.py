@@ -138,6 +138,14 @@ class ScoreConfig:
     mesh_shape: Tuple[int, int] = (1, -1)   # (data, model); -1 = all devices
     merge: str = "allgather"                # "allgather" | "ring"
     local_engine: str = "auto"              # auto | pallas | binmax | scan
+    # Pallas engine staging (ops/exact_topk.py): "clustered" permutes the
+    # staged rows so one query's winners pack into fewer bins (coarse
+    # spherical k-means order; results exact, indices mapped back), and
+    # adaptive_bins > 0 rescores only that many top bins with a
+    # verified-exact fallback — together they cut the gather-rescore
+    # bytes, the engine's one remaining HBM-bound stage.
+    layout: str = "natural"                 # "natural" | "clustered"
+    adaptive_bins: int = 0                  # 0 = rescore all k+pad bins
 
 
 @dataclass(frozen=True)

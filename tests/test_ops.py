@@ -131,6 +131,63 @@ class TestExactTopk:
         # every entity present exactly once
         assert (np.sort(np.asarray(i), axis=1) == np.arange(200)).all()
 
+    @pytest.mark.parametrize("with_bias", [False, True])
+    def test_clustered_layout_matches_natural(self, with_bias):
+        """layout="clustered" permutes the staged rows; results must be
+        IDENTICAL to the natural layout (indices mapped back, bias paired
+        with the permuted rows in both kernels)."""
+        from sert_tpu.ops.exact_topk import (exact_topk_prepared,
+                                             prepare_entities)
+        rng = np.random.default_rng(17)
+        R, M = _data(rng, E=1500)
+        bias = (jnp.asarray(rng.normal(size=1500).astype(np.float32))
+                if with_bias else None)
+        alpha = (jnp.asarray(np.full(8, 1.5, np.float32))
+                 if with_bias else None)
+        nat = prepare_entities(M)
+        clu = prepare_entities(M, layout="clustered")
+        assert clu.perm is not None and sorted(np.asarray(clu.perm)) == \
+            list(range(1500))
+        s0, i0 = exact_topk_prepared(R, nat, bias, alpha, k=40)
+        s1, i1 = exact_topk_prepared(R, clu, bias, alpha, k=40)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   rtol=1e-5, atol=1e-5)
+        # continuous random scores: winners are unique -> same entities
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    @pytest.mark.parametrize("na", [2, 20, 64])
+    def test_adaptive_bins_exact_both_branches(self, na):
+        """adaptive_bins must be exact whether the quick path suffices
+        (large na) or the verified fallback fires (tiny na)."""
+        from sert_tpu.ops.exact_topk import (exact_topk_prepared,
+                                             prepare_entities)
+        rng = np.random.default_rng(100 + na)
+        R, M = _data(rng, E=2048)
+        prep = prepare_entities(M, layout="clustered")
+        s0, i0 = exact_topk_prepared(R, prep, k=30)
+        s1, i1 = exact_topk_prepared(R, prep, k=30, adaptive_bins=na)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_adaptive_bins_fuzz(self):
+        from sert_tpu.ops.exact_topk import (exact_topk_prepared,
+                                             prepare_entities)
+        rng = np.random.default_rng(7)
+        for trial in range(6):
+            E = int(rng.integers(300, 3000))
+            k = int(rng.integers(5, 80))
+            na = int(rng.integers(1, k + 12))
+            layout = "clustered" if trial % 2 else "natural"
+            R, M = _data(rng, Q=4, E=E)
+            prep = prepare_entities(M, layout=layout)
+            s0, i0 = exact_topk_prepared(R, prep, k=k)
+            s1, i1 = exact_topk_prepared(R, prep, k=k, adaptive_bins=na)
+            np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"E={E} k={k} na={na}")
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
 
 class TestPrepSweepTileConsistency:
     """Regression: the sweep tile size must come from the prepare stage.

@@ -110,6 +110,26 @@ class TestPallasEngine:
         np.testing.assert_allclose(np.sort(got_sc), np.sort(want_sc),
                                    rtol=1e-3, atol=5e-2)
 
+    @pytest.mark.parametrize("cfg", [CFG_LL, CFG_LSE], ids=["loglinear", "lse"])
+    def test_clustered_adaptive_config_equivalent(self, cfg):
+        """ScoreConfig(layout="clustered", adaptive_bins=N) must produce
+        the same run as the default pallas engine (config-level wiring of
+        ops/exact_topk's staged permutation + two-phase rescore)."""
+        params = api.init_params(jax.random.key(23), cfg)
+        names = [f"e{i}" for i in range(cfg.num_entities)]
+        topics = {"q1": [5, 6], "q2": [7, 8, 9], "q3": [1]}
+        base = score_topics(params, cfg, topics, names,
+                            ScoreConfig(top_k=12, engine="pallas"))
+        fast = score_topics(params, cfg, topics, names,
+                            ScoreConfig(top_k=12, engine="pallas",
+                                        layout="clustered",
+                                        adaptive_bins=6))
+        for qid in topics:
+            assert [n for n, _ in base[qid]] == [n for n, _ in fast[qid]]
+            np.testing.assert_allclose([s for _, s in base[qid]],
+                                       [s for _, s in fast[qid]],
+                                       rtol=1e-5, atol=1e-5)
+
     def test_engine_resolution(self):
         from sert_tpu.scoring.run import resolve_engine
         # on the CPU test backend auto resolves by size

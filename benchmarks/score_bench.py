@@ -30,6 +30,8 @@ def measure_entities_per_sec(
     model: str = "lse",
     seed: int = 0,
     engine: str = "auto",   # "pallas" | "streaming" | "auto"
+    layout: str = "natural",        # pallas staging: "natural"|"clustered"
+    adaptive_bins: int = 0,         # pallas: two-phase rescore bin budget
 ) -> Dict[str, float]:
     """Timing honesty notes (benchmarks/NOTES.md): on the tunneled axon
     platform block_until_ready does NOT wait for execution, and each
@@ -60,7 +62,7 @@ def measure_entities_per_sec(
         # bf16 prefilter and as TPU's DEFAULT-precision f32 matmuls; the
         # scoring CLI default remains fp32 rescore).
         prep = prepare_entities(_entity_matrix(params, cfg, "dot"),
-                                rescore_dtype="bfloat16")
+                                rescore_dtype="bfloat16", layout=layout)
 
     n_sweep = sweeps_per_iter
 
@@ -70,7 +72,7 @@ def measure_entities_per_sec(
             tids = jnp.where(term_ids + o < vocab, term_ids + o, term_ids)
             if engine == "pallas":
                 s, i = pallas_topk(params, cfg, tids, num_terms_arr, k=k,
-                                   prep=prep)
+                                   prep=prep, adaptive_bins=adaptive_bins)
             else:
                 s, i = streaming_topk(params, cfg, tids, num_terms_arr,
                                       k=k, chunk=chunk)

@@ -45,9 +45,13 @@ def build_recipe(E, vocab_size):
                           objective="sampled_softmax", num_negatives=1024,
                           negative_distribution="unigram",
                           compute_dtype="bfloat16"),
+        # steps_per_call=4, not 16: the scan-of-16 program at E=1M wedges
+        # the remote compile service for 50+ minutes; the 4-step scan
+        # compiles in ~20-270s and the step itself runs at ~13 ms either
+        # way (dispatch overhead is amortized enough at 4).
         train=TrainConfig(batch_size=4096, num_epochs=3, optimizer="adam",
-                          learning_rate=3e-3, steps_per_call=16,
-                          log_every_steps=0),
+                          learning_rate=3e-3, steps_per_call=4,
+                          log_every_steps=200),
         score=ScoreConfig(top_k=100, similarity="cosine", engine="pallas"))
 
 

@@ -12,8 +12,10 @@ resume exact (SURVEY.md section 6, checkpoint/resume).
 
 from __future__ import annotations
 
+import io
 import json
 import os
+import threading
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -113,7 +115,14 @@ class InstanceDataset:
         return total
 
     def _load_shard(self, name: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        with np.load(os.path.join(self.data_dir, name)) as z:
+        # ONE bulk sequential read, then parse the zip container in memory.
+        # np.load on a file object issues many small chunked reads through
+        # zipfile; on high-latency block devices that measures ~4x slower
+        # than the device's sequential rate (8 vs 30 MB/s cold on the
+        # 1M-stress dataset — benchmarks/NOTES.md, feeder section).
+        with open(os.path.join(self.data_dir, name), "rb") as fh:
+            raw = fh.read()
+        with np.load(io.BytesIO(raw)) as z:
             return z["windows"], z["lengths"], z["entities"]
 
     def iter_batches(
@@ -134,11 +143,43 @@ class InstanceDataset:
             c_epoch, start_shard, start_batch = start_cursor
             assert c_epoch == epoch, "cursor epoch mismatch"
 
+        def load_permuted(si: int):
+            w, l, e = self._load_shard(self._shard_files[shard_order[si]])
+            perm = np.random.default_rng(
+                shard_seeds[si]).permutation(w.shape[0])
+            return w[perm], l[perm], e[perm]
+
+        # One-slot shard readahead: shard si+1 loads (disk read + permute)
+        # on a daemon thread while si's batches are consumed. The disk here
+        # sits behind ~10 ms of per-IO latency, so an unhidden cold shard
+        # load stalls the feed for seconds at every shard boundary — the
+        # measured host-side epoch rate on the 1M-stress dataset was 50
+        # batches/s against the device's 77 steps/s (NOTES.md).
+        nxt_result: List = [None, None]  # (exception?, tuple)
+
+        def prefetch(si: int) -> threading.Thread:
+            def work():
+                try:
+                    nxt_result[0], nxt_result[1] = None, load_permuted(si)
+                except BaseException as exc:  # re-raised on the consumer side
+                    nxt_result[0], nxt_result[1] = exc, None
+            t = threading.Thread(target=work, daemon=True)
+            t.start()
+            return t
+
+        pending: Optional[threading.Thread] = None
         for si in range(start_shard, len(shard_order)):
-            name = self._shard_files[shard_order[si]]
-            w, l, e = self._load_shard(name)
-            perm = np.random.default_rng(shard_seeds[si]).permutation(w.shape[0])
-            w, l, e = w[perm], l[perm], e[perm]
+            if pending is None:
+                w, l, e = load_permuted(si)
+            else:
+                pending.join()
+                if nxt_result[0] is not None:
+                    raise nxt_result[0]
+                w, l, e = nxt_result[1]
+            if si + 1 < len(shard_order):
+                pending = prefetch(si + 1)
+            else:
+                pending = None
             n_batches = w.shape[0] // batch_size
             b0 = start_batch if si == start_shard else 0
             for bi in range(b0, n_batches):

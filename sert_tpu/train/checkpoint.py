@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -142,6 +143,77 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
     if multi:
         _barrier(f"ckpt-{step}")  # release the other processes
     return base + ".npz"
+
+
+def _device_copy(tree: Any) -> Any:
+    """Fresh device buffers for every array leaf (shardings preserved).
+
+    The train step DONATES its input state, so a state handed to a
+    background writer must not share buffers with the live one — the next
+    step would invalidate them mid-fetch."""
+    def cp(leaf):
+        if _is_prng_key(leaf):
+            data = jax.numpy.copy(jax.random.key_data(leaf))
+            return jax.random.wrap_key_data(data,
+                                            impl=jax.random.key_impl(leaf))
+        if isinstance(leaf, jax.Array):
+            return jax.numpy.copy(leaf)
+        return leaf
+    return jax.tree.map(cp, tree)
+
+
+class AsyncCheckpointer:
+    """Overlap the slow device->host state fetch + npz write with training.
+
+    On the tunneled chip the host fetch of a 1M-entity LSE training state
+    (~1.9 GB with adam moments) measures 600-860 s; synchronous per-epoch
+    snapshots cost a third of total train wall at that scale
+    (benchmarks/NOTES.md, 1M stress). Here the state is copied on-device
+    first (HBM->HBM, ~milliseconds) and a single worker thread runs the
+    fetch + atomic write while the next epoch trains. At most one save is
+    in flight — a second `save` joins the first — bounding the extra HBM
+    footprint to one state copy.
+
+    Multi-process runs degrade to SYNCHRONOUS saves: _flatten is a
+    collective there (process_allgather) and must run in program order on
+    the main thread of every process. Worker exceptions re-raise on the
+    next save()/wait().
+    """
+
+    def __init__(self) -> None:
+        self._thread: Optional[threading.Thread] = None
+        self._err: Optional[BaseException] = None
+
+    def save(self, ckpt_dir: str, step: int, state: Any,
+             meta: Optional[Dict] = None, max_to_keep: int = 0,
+             sync: bool = False) -> None:
+        if sync or jax.process_count() > 1:
+            self.wait()
+            save_checkpoint(ckpt_dir, step, state, meta,
+                            max_to_keep=max_to_keep)
+            return
+        self.wait()                      # serialize; re-raise prior failure
+        snap = _device_copy(state)
+
+        def work() -> None:
+            try:
+                save_checkpoint(ckpt_dir, step, snap, meta,
+                                max_to_keep=max_to_keep)
+            except BaseException as exc:
+                self._err = exc
+
+        self._thread = threading.Thread(target=work, daemon=True,
+                                        name=f"ckpt-writer-{step}")
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) is durable on disk."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -10,6 +10,7 @@ compute, metrics stream to JSONL, and checkpoints carry the exact
 from __future__ import annotations
 
 import os
+import sys
 import time
 from typing import Callable, Optional
 
@@ -141,6 +142,8 @@ def train(
     # micro-step axis even when the clamped group size is 1.
     stack_groups = tcfg.steps_per_call > 1
     feeders = []
+    saver = ckpt.AsyncCheckpointer()
+    sync_saves = not tcfg.async_checkpoint
     try:
         for epoch in range(start_epoch, tcfg.num_epochs):
             epoch_cursor = cursor if epoch == start_epoch else None
@@ -172,17 +175,20 @@ def train(
                              instances_per_sec=sps * tcfg.batch_size)
                 if (tcfg.checkpoint_every_steps
                         and step_i % tcfg.checkpoint_every_steps < n_micro):
-                    ckpt.save_checkpoint(
+                    saver.save(
                         ckpt_dir, step_i, state,
                         {"epoch": epoch, "cursor": list(last_cursor), **meta_common},
-                        max_to_keep=tcfg.keep_checkpoints)
-            # End of epoch: snapshot (reference's per-epoch dump).
+                        max_to_keep=tcfg.keep_checkpoints, sync=sync_saves)
+            # End of epoch: snapshot (reference's per-epoch dump). The slow
+            # device->host fetch runs on the saver's thread over a device
+            # copy — the next epoch starts immediately (NOTES.md: the sync
+            # fetch cost 600-860 s/epoch on the tunneled chip at E=1M).
             jax.block_until_ready(state.params)
             step_i = int(state.step)
-            ckpt.save_checkpoint(
+            saver.save(
                 ckpt_dir, step_i, state,
                 {"epoch": epoch + 1, "cursor": None, **meta_common},
-                max_to_keep=tcfg.keep_checkpoints)
+                max_to_keep=tcfg.keep_checkpoints, sync=sync_saves)
             log.info("epoch %d done at step %d%s", epoch, step_i,
                      (" (mean logged loss %.4f)" % float(np.mean(epoch_losses)))
                      if epoch_losses else "")
@@ -194,6 +200,16 @@ def train(
         for f in feeders:
             f.close()
         jlog.close()
+        # train() returning implies the latest snapshot is durable on disk
+        # (resume/query load it immediately after). Don't let a writer
+        # failure mask the exception already propagating out of the loop.
+        if sys.exc_info()[0] is None:
+            saver.wait()
+        else:
+            try:
+                saver.wait()
+            except BaseException:
+                log.exception("async checkpoint save failed during teardown")
     return state
 
 

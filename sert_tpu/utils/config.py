@@ -99,6 +99,10 @@ class TrainConfig:
     grad_clip_norm: float = 0.0     # 0 disables clipping
     checkpoint_every_steps: int = 0  # 0 = per-epoch only
     keep_checkpoints: int = 0        # >0: prune to the newest N on disk
+    # Overlap checkpoint device->host fetch + write with training (the
+    # state is device-copied first, so donation stays safe). Single-process
+    # only; multi-host saves are collective and always run synchronously.
+    async_checkpoint: bool = True
     seed: int = 0
     log_every_steps: int = 50
     # Mesh: (data_parallel, model_parallel) axis sizes; (1, 1) = single chip.

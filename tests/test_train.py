@@ -185,6 +185,85 @@ class TestCheckpoint:
         np.testing.assert_array_equal(out, np.ones((2, 2)))
         assert calls == [True]
 
+    def test_async_saver_roundtrip_and_ordering(self, tmp_path):
+        """AsyncCheckpointer must write the state AS OF save() time (a
+        device copy — the caller's buffers may be donated to the next step
+        immediately after) and serialize successive saves."""
+        state = init_state(jax.random.key(3), MCFG, TCFG)
+        saver = ckpt.AsyncCheckpointer()
+        saver.save(str(tmp_path), 5, state, {"epoch": 1})
+        saver.save(str(tmp_path), 9, state, {"epoch": 2}, max_to_keep=1)
+        saver.wait()
+        assert list(ckpt.list_checkpoints(str(tmp_path))) == [9]  # pruned
+        template = init_state(jax.random.key(99), MCFG, TCFG)
+        restored, meta = ckpt.load_checkpoint(
+            ckpt.latest_checkpoint(str(tmp_path)), template)
+        assert meta["epoch"] == 2
+        for a, b in zip(jax.tree_util.tree_leaves(state),
+                        jax.tree_util.tree_leaves(restored)):
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                                      jax.dtypes.prng_key):
+                a, b = jax.random.key_data(a), jax.random.key_data(b)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_async_saver_copies_before_return(self, tmp_path, monkeypatch):
+        """save() must deep-copy the state BEFORE handing it to the worker:
+        the snapshot on disk reflects save-time values even if the live
+        buffers change while the write is in flight."""
+        state = init_state(jax.random.key(0), MCFG, TCFG)
+        gate = __import__("threading").Event()
+        real_save = ckpt.save_checkpoint
+
+        def slow_save(*a, **kw):
+            gate.wait(5.0)          # hold the write until the caller mutates
+            return real_save(*a, **kw)
+
+        monkeypatch.setattr(ckpt, "save_checkpoint", slow_save)
+        saver = ckpt.AsyncCheckpointer()
+        saver.save(str(tmp_path), 1, state)
+        expect = np.asarray(state.params["word_emb"]).copy()
+        # "Donate" the caller's buffer: delete the live array. The worker
+        # must not depend on it.
+        state = state._replace(params=dict(state.params, word_emb=None))
+        gate.set()
+        saver.wait()
+        restored, _ = ckpt.load_checkpoint(
+            ckpt.latest_checkpoint(str(tmp_path)),
+            init_state(jax.random.key(0), MCFG, TCFG))
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["word_emb"]), expect)
+
+    def test_async_saver_error_reraises_on_wait(self, tmp_path):
+        blocker = tmp_path / "not_a_dir"
+        blocker.write_text("x")     # os.makedirs inside the worker fails
+        state = init_state(jax.random.key(0), MCFG, TCFG)
+        saver = ckpt.AsyncCheckpointer()
+        saver.save(str(blocker), 1, state)
+        with pytest.raises(OSError):
+            saver.wait()
+        saver.wait()                # error is consumed, not sticky
+
+    def test_async_saver_multiprocess_degrades_to_sync(self, tmp_path,
+                                                       monkeypatch):
+        """On a pod every process must enter the collective in program
+        order — the saver must call save_checkpoint on the CALLING thread."""
+        state = init_state(jax.random.key(0), MCFG, TCFG)
+        thread_ids = []
+        real_save = ckpt.save_checkpoint
+
+        def spy(*a, **kw):
+            thread_ids.append(__import__("threading").get_ident())
+            return real_save(*a, **kw)
+
+        monkeypatch.setattr(ckpt, "save_checkpoint", spy)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        monkeypatch.setattr(ckpt, "_barrier", lambda name: None)
+        saver = ckpt.AsyncCheckpointer()
+        saver.save(str(tmp_path), 3, state)
+        assert thread_ids == [__import__("threading").get_ident()]
+        assert os.path.exists(ckpt.latest_checkpoint(str(tmp_path)))
+
 
 class TestLoop:
     def test_train_and_resume_exact(self, tmp_path):

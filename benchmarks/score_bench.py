@@ -32,6 +32,7 @@ def measure_entities_per_sec(
     engine: str = "auto",   # "pallas" | "streaming" | "auto"
     layout: str = "natural",        # pallas staging: "natural"|"clustered"
     adaptive_bins: int = 0,         # pallas: two-phase rescore bin budget
+    params_npz: Optional[str] = None,  # checkpoint npz: bench TRAINED params
 ) -> Dict[str, float]:
     """Timing honesty notes (benchmarks/NOTES.md): on the tunneled axon
     platform block_until_ready does NOT wait for execution, and each
@@ -47,9 +48,27 @@ def measure_entities_per_sec(
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "streaming"
 
-    cfg = ModelConfig(model=model, vocab_size=vocab,
-                      num_entities=num_entities, word_dim=dim, entity_dim=dim)
-    params = api.init_params(jax.random.key(seed), cfg)
+    if params_npz:
+        # Trained-geometry benchmarking (clustered layout / adaptive
+        # rescore only matter when winners CLUSTER, which random params
+        # cannot show). Host-side npz read, minimal device upload —
+        # the tunnel moves a few MB/s (NOTES.md platform gotchas).
+        import io
+        with open(params_npz, "rb") as fh:
+            z = np.load(io.BytesIO(fh.read()))
+        p_host = {name: z[f".params['{name}']"]
+                  for name in ("word_emb", "entity_emb", "proj_w", "proj_b")}
+        num_entities, dim = p_host["entity_emb"].shape
+        vocab = p_host["word_emb"].shape[0]
+        cfg = ModelConfig(model="lse", vocab_size=vocab,
+                          num_entities=num_entities, word_dim=dim,
+                          entity_dim=dim)
+        params = {k_: jnp.asarray(v) for k_, v in p_host.items()}
+    else:
+        cfg = ModelConfig(model=model, vocab_size=vocab,
+                          num_entities=num_entities, word_dim=dim,
+                          entity_dim=dim)
+        params = api.init_params(jax.random.key(seed), cfg)
     rng = np.random.default_rng(seed)
     term_ids = jnp.asarray(
         rng.integers(0, vocab, size=(num_queries, num_terms)).astype(np.int32))
@@ -151,3 +170,26 @@ def measure_train_steps_per_sec(
         "instances_per_sec": batch_size / dt,
         "platform": jax.devices()[0].platform,
     }
+
+
+if __name__ == "__main__":
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description="entity-scoring throughput")
+    ap.add_argument("--entities", type=int, default=1_000_000)
+    ap.add_argument("--queries", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--sweeps", type=int, default=50)
+    ap.add_argument("--engine", default="auto")
+    ap.add_argument("--layout", default="natural")
+    ap.add_argument("--adaptive-bins", type=int, default=0)
+    ap.add_argument("--params-npz", default=None,
+                    help="checkpoint npz path: bench the TRAINED matrix")
+    a = ap.parse_args()
+    r = measure_entities_per_sec(
+        num_entities=a.entities, num_queries=a.queries, iters=a.iters,
+        sweeps_per_iter=a.sweeps, engine=a.engine, layout=a.layout,
+        adaptive_bins=a.adaptive_bins, params_npz=a.params_npz)
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in r.items()}))

@@ -55,7 +55,7 @@ def build_recipe(E, vocab_size):
         score=ScoreConfig(top_k=100, similarity="cosine", engine="pallas"))
 
 
-def run_pipeline(workdir, E):
+def run_pipeline(workdir, E, run_name="run"):
     from sert_tpu import pipeline
     from sert_tpu.data import Associations, EntityRegistry, Vocabulary
     from sert_tpu.data.prepare import encode_queries, prepare
@@ -87,7 +87,7 @@ def run_pipeline(workdir, E):
 
     t0 = time.time()
     state, recipe = pipeline.train_from_dir(recipe, ddir,
-                                            os.path.join(workdir, "run"))
+                                            os.path.join(workdir, run_name))
     steps = int(state.step)
     train_s = time.time() - t0
     print(f"train {train_s:.0f}s ({steps} steps, "
@@ -110,21 +110,43 @@ def run_pipeline(workdir, E):
 
 def audit_prefilter(workdir, n_queries=64, k=100):
     """Measured bf16-prefilter miss rate on the TRAINED 1M matrix vs a
-    float64 host oracle, for both prefilter dtypes."""
+    float64 host oracle, for both prefilter dtypes.
+
+    Transfer-frugal by necessity: the tunneled chip moves host<->device
+    bytes at only a few MB/s (NOTES.md platform gotchas), so the trained
+    params are read straight from the checkpoint npz ON THE HOST (no
+    1.9GB state upload through load_scorer) and the float64 oracle runs
+    in numpy on the same host arrays; only the [E, d] matrix (the engine
+    under test's real input) and the tiny [Q, d] query reps go to the
+    device. R's provenance (host fp32 math) is irrelevant to the audit:
+    oracle and both prefilter engines see the IDENTICAL R, and any
+    trained query geometry exercises the boundary-margin question.
+    """
+    import zipfile
+
     import jax
     import jax.numpy as jnp
 
-    from sert_tpu import pipeline
     from sert_tpu.data.instances import InstanceDataset
     from sert_tpu.data.prepare import encode_queries
+    from sert_tpu.data.vocab import Vocabulary
     from sert_tpu.ops.exact_topk import exact_topk_prepared, prepare_entities
-    from sert_tpu.scoring.scorer import _entity_matrix, _query_reps_and_terms
+    from sert_tpu.train import checkpoint as ckpt
+    from sert_tpu import pipeline
 
     ddir, rdir = os.path.join(workdir, "data"), os.path.join(workdir, "run")
     ds = InstanceDataset(ddir)
-    recipe = pipeline.resolve_model_config(
-        build_recipe(0, 0), ds.meta)
-    params, vocab, reg = pipeline.load_scorer(rdir, ddir, recipe)
+    recipe = pipeline.resolve_model_config(build_recipe(0, 0), ds.meta)
+    vocab = Vocabulary.load(os.path.join(ddir, "vocab.json"))
+    path = ckpt.latest_checkpoint(os.path.join(rdir, "checkpoints"))
+    t0 = time.time()
+    with open(path, "rb") as fh:
+        import io
+        z = np.load(io.BytesIO(fh.read()))
+        p_host = {name: z[f".params['{name}']"]
+                  for name in ("word_emb", "entity_emb", "proj_w", "proj_b")}
+    print(f"host param load {time.time()-t0:.0f}s", flush=True)
+
     with open(os.path.join(workdir, "topics.json")) as fh:
         saved = json.load(fh)
     encoded = encode_queries(saved["topics"], vocab, recipe.data)
@@ -136,12 +158,23 @@ def audit_prefilter(workdir, n_queries=64, k=100):
         t_ids[i, :len(c)] = c
         n_t[i] = len(c)
 
-    M = _entity_matrix(params, recipe.model, recipe.score.similarity)
-    R, _, _ = _query_reps_and_terms(params, recipe.model,
-                                    jnp.asarray(t_ids), jnp.asarray(n_t),
-                                    recipe.score.similarity)
-    R_host = np.asarray(R, np.float64)
-    M_host = np.asarray(M, np.float64)
+    # Host twin of models/lse.window_rep + cosine normalization (fp32).
+    we = p_host["word_emb"].astype(np.float32)
+    emb = we[t_ids]                                        # [Q, T, d]
+    mask = (np.arange(T)[None, :] < n_t[:, None])
+    pooled = (emb * mask[:, :, None]).sum(1) / np.maximum(n_t, 1)[:, None]
+    R_host32 = np.tanh(pooled @ p_host["proj_w"].astype(np.float32)
+                       + p_host["proj_b"].astype(np.float32))
+    M_host32 = p_host["entity_emb"].astype(np.float32)
+    if recipe.score.similarity == "cosine":
+        R_host32 /= np.maximum(
+            np.linalg.norm(R_host32, axis=-1, keepdims=True), 1e-9)
+        M_host32 /= np.maximum(
+            np.linalg.norm(M_host32, axis=-1, keepdims=True), 1e-9)
+    R_host = R_host32.astype(np.float64)
+    M_host = M_host32.astype(np.float64)
+    M = jnp.asarray(M_host32)                    # the only big upload
+    R = jnp.asarray(R_host32)
 
     # float64 oracle top-k sets (host; the HIGHEST-precision reference —
     # the TPU "fp32" dense path itself multiplies in bf16 passes)
@@ -218,6 +251,10 @@ if __name__ == "__main__":
     ap.add_argument("--audit", action="store_true",
                     help="prefilter exactness audit on the existing workdir")
     ap.add_argument("--dryrun-mesh", action="store_true")
+    ap.add_argument("--run-name", default="run",
+                    help="train output subdir; a fresh name re-trains on "
+                         "the prepared data (wall-clock A/B, e.g. the "
+                         "async-checkpoint measurement)")
     args = ap.parse_args()
     if args.dryrun_mesh:
         # The axon site plugin can override JAX_PLATFORMS after env setup
@@ -230,4 +267,4 @@ if __name__ == "__main__":
     elif args.audit:
         print(json.dumps(audit_prefilter(args.workdir), indent=2))
     else:
-        run_pipeline(args.workdir, args.entities)
+        run_pipeline(args.workdir, args.entities, run_name=args.run_name)

@@ -76,12 +76,44 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _cluster_order(M: jax.Array, n_clusters: int = 256, iters: int = 8,
-                   sample: int = 1 << 16, seed: int = 0) -> jax.Array:
+def _cluster_order(M: jax.Array, n_clusters: Optional[int] = None,
+                   iters: int = 8, sample: int = 1 << 16,
+                   seed: int = 0) -> jax.Array:
     """[E] permutation grouping directionally-similar rows (coarse spherical
     k-means on a subsample, then a stable sort by assignment). One-off at
-    staging: the heavy step is the final [E, d] x [d, C] assignment."""
+    staging: the heavy step is the final [E, d] x [d, C] assignment.
+
+    ``n_clusters`` defaults to ~E/bin_width (capped): the layout only
+    concentrates a query's winners into few BINS if a cluster is about one
+    bin wide. A fixed 256 clusters measured well at E=50k (~1.5 bins per
+    cluster: 76 -> 50 mean winner-bins) but did NOTHING at E=1M (each
+    cluster spanned ~30 bins; 92 -> 94 mean winner-bins, layout_bench.py).
+    Measured follow-up (round 3): the ~E/128 default does NOT rescue the
+    trained 1M hard-mode matrix either (8192 clusters: 92.2 -> 94.9 mean
+    winner-bins) — there the spread is intrinsic, a query's top-100 being
+    dominated by scattered singletons rather than sibling clusters, so the
+    layout stays a 50k-regime tool; see benchmarks/NOTES.md."""
     E, d = M.shape
+    if n_clusters is None:
+        n_clusters = min(8192, max(256, E // LANES))
+
+    def assign_chunked(X: jax.Array, C: jax.Array,
+                       slab: int = 1 << 15) -> jax.Array:
+        """argmax(X @ C.T, axis=1) in row slabs: the full [n, C] score
+        matrix at E=1M x 8192 clusters would be a 31GB temp."""
+        n = X.shape[0]
+        if n <= slab:
+            return jnp.argmax(jnp.dot(X, C.T,
+                                      preferred_element_type=jnp.float32),
+                              axis=1)
+        pad = (-n) % slab
+        Xp = jnp.pad(X, ((0, pad), (0, 0)))
+        a = jax.lax.map(
+            lambda xs: jnp.argmax(
+                jnp.dot(xs, C.T, preferred_element_type=jnp.float32), axis=1),
+            Xp.reshape(-1, slab, X.shape[1]))
+        return a.reshape(-1)[:n]
+
     Xn = M.astype(jnp.float32)
     Xn = Xn / jnp.maximum(jnp.linalg.norm(Xn, axis=-1, keepdims=True), 1e-9)
     key = jax.random.key(seed)
@@ -89,8 +121,7 @@ def _cluster_order(M: jax.Array, n_clusters: int = 256, iters: int = 8,
     C = Xn[jax.random.choice(k1, E, (min(n_clusters, E),), replace=False)]
     sub = Xn[jax.random.choice(k2, E, (min(sample, E),), replace=False)]
     for _ in range(iters):
-        a = jnp.argmax(jnp.dot(sub, C.T,
-                               preferred_element_type=jnp.float32), axis=1)
+        a = assign_chunked(sub, C)
         tot = jax.ops.segment_sum(sub, a, num_segments=C.shape[0])
         cnt = jax.ops.segment_sum(jnp.ones((sub.shape[0],), jnp.float32), a,
                                   num_segments=C.shape[0])
@@ -99,8 +130,7 @@ def _cluster_order(M: jax.Array, n_clusters: int = 256, iters: int = 8,
         Cn = jnp.where(cnt[:, None] > 0, Cn, C)
         C = Cn / jnp.maximum(jnp.linalg.norm(Cn, axis=-1, keepdims=True),
                              1e-9)
-    assign = jnp.argmax(jnp.dot(Xn, C.T,
-                                preferred_element_type=jnp.float32), axis=1)
+    assign = assign_chunked(Xn, C)
     return jnp.argsort(assign, stable=True).astype(jnp.int32)
 
 

@@ -91,8 +91,12 @@ def init_state(rng: jax.Array, model_cfg: ModelConfig,
                train_cfg: TrainConfig) -> TrainState:
     k_params, k_train = jax.random.split(rng)
     params = api.init_params(k_params, model_cfg)
-    opt = make_optimizer(train_cfg)
-    return TrainState(params=params, opt_state=opt.init(params),
+    from sert_tpu.train import sparse
+    if sparse.sparse_enabled(model_cfg, train_cfg):
+        opt_state = sparse.init_sparse_opt_state(params, train_cfg)
+    else:
+        opt_state = make_optimizer(train_cfg).init(params)
+    return TrainState(params=params, opt_state=opt_state,
                       step=jnp.zeros((), jnp.int32), rng=k_train)
 
 
@@ -112,6 +116,14 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
     compiled call; metrics are the final micro-step's.
     """
     check_optimizer_model_fit(model_cfg, train_cfg)
+    from sert_tpu.train import sparse
+    if loss_fn is None and sparse.sparse_enabled(model_cfg, train_cfg):
+        # Lazy per-row optimizer path for the sampled LSE objectives —
+        # same step contract (train/sparse.py). A loss_fn override (the
+        # sharded fused path) or an inapplicable config keeps the dense
+        # step below.
+        return sparse.make_sparse_train_step(model_cfg, train_cfg,
+                                             noise=noise, jit=jit)
     opt = make_optimizer(train_cfg)
     if loss_fn is None:
         loss_fn = api.loss_fn

@@ -112,6 +112,15 @@ class TrainConfig:
     # batches). >1 amortizes per-dispatch overhead — essential on dispatch-
     # latency-bound platforms (see benchmarks/NOTES.md, ~24ms RTT here).
     steps_per_call: int = 1
+    # Row-sparse (lazy) optimizer updates for the sampled-objective LSE
+    # step (train/sparse.py): gradients are taken w.r.t. the gathered
+    # embedding rows and adam/adagrad/sgd update only those rows, so
+    # optimizer HBM traffic scales with B + k + B*w visited rows instead
+    # of V + E total rows. "auto" enables it exactly when semantics match
+    # dense (lse + nce/sampled_softmax + adam/adagrad/sgd + no weight
+    # decay + single device); adagrad/sgd are bit-identical to dense,
+    # adam differs only in untouched rows' momentum tail (LazyAdam).
+    sparse_update: str = "auto"     # "auto" | "on" | "off"
 
 
 @dataclass(frozen=True)

@@ -7,6 +7,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,6 +26,9 @@ class TestGraftEntry:
         graft.dryrun_multichip(8)
         assert "dryrun_multichip OK" in capsys.readouterr().out
 
+    @pytest.mark.slow  # the driver runs the dryrun itself; the 8-device
+    # case above is the meaningful in-suite gate, the 1-device degenerate
+    # mesh just re-pays the full compile
     def test_dryrun_multichip_1(self, capsys):
         graft.dryrun_multichip(1)
         assert "OK" in capsys.readouterr().out

@@ -19,7 +19,11 @@ CFG_LL = ModelConfig(model="loglinear", vocab_size=50, num_entities=40,
                      word_dim=8)
 CFG_LSE = ModelConfig(model="lse", vocab_size=50, num_entities=40,
                       word_dim=8, entity_dim=8, num_negatives=4)
-TCFG = TrainConfig(batch_size=16, learning_rate=1e-2, donate_state=False)
+# sparse_update off: this file tests the SHARDED step, which is always
+# dense (train/sparse.py is single-device); the 1-device reference must
+# run the same dense semantics for the equivalence claims to be exact.
+TCFG = TrainConfig(batch_size=16, learning_rate=1e-2, donate_state=False,
+                   sparse_update="off")
 
 
 def _batch(rng, B=16, V=50, E=40):
@@ -70,10 +74,12 @@ class TestShardingRules:
 
 
 class TestShardedTraining:
-    @pytest.mark.parametrize("cfg", [CFG_LL,
-                                     CFG_LSE.replace(model="lse_full"),
-                                     CFG_LSE],
-                             ids=["loglinear", "lse_full", "lse"])
+    @pytest.mark.parametrize("cfg", [
+        CFG_LL,
+        pytest.param(CFG_LSE.replace(model="lse_full"),
+                     marks=pytest.mark.slow),
+        CFG_LSE],
+        ids=["loglinear", "lse_full", "lse"])
     def test_sharded_step_matches_single_device(self, cfg):
         """Identical params after 5 steps on a (2,4) mesh vs 1 device."""
         rng = np.random.default_rng(0)
@@ -211,8 +217,14 @@ class TestMeshTrainLoop:
 
 
 class TestDistributedTopk:
-    @pytest.mark.parametrize("cfg", [CFG_LL, CFG_LSE], ids=["loglinear", "lse"])
-    @pytest.mark.parametrize("merge", ["allgather", "ring"])
+    # Fast gate: every local engine once, on the harder ring merge with the
+    # loglinear scorer; the full (cfg x merge x engine) grid is CI-only —
+    # each combination pays its own multi-second fake-device compile.
+    @pytest.mark.parametrize("cfg", [
+        CFG_LL, pytest.param(CFG_LSE, marks=pytest.mark.slow)],
+        ids=["loglinear", "lse"])
+    @pytest.mark.parametrize("merge", [
+        pytest.param("allgather", marks=pytest.mark.slow), "ring"])
     @pytest.mark.parametrize("local_engine", ["scan", "binmax", "pallas"])
     def test_matches_single_device(self, cfg, merge, local_engine):
         mesh = make_mesh((2, 4))
@@ -227,7 +239,8 @@ class TestDistributedTopk:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
 
-    @pytest.mark.parametrize("local_engine", ["binmax", "pallas"])
+    @pytest.mark.parametrize("local_engine", [
+        "binmax", pytest.param("pallas", marks=pytest.mark.slow)])
     def test_local_engine_k_exceeds_shard(self, local_engine):
         """k larger than a shard's row count: local results pad with -inf
         and the merge still recovers the exact global top-k."""
@@ -250,6 +263,7 @@ class TestDistributedTopk:
         with pytest.raises(ValueError):
             distributed_topk(params, cfg, term_ids, num_terms, mesh, k=4)
 
+    @pytest.mark.slow
     def test_pallas_prep_te_reaches_tail_rows(self):
         """Regression: prepare_distributed's te must be the te the per-shard
         sweep runs with. With 5000 rows/shard (padded to 6144 under te=2048)

@@ -43,6 +43,11 @@ def _batch(seed, batch_size=16, w=5):
 
 
 class TestShardedXent:
+    # Each (mesh, layout) combination pays a fresh ~30-45s shard_map+Pallas
+    # compile on the single-core fake-device backend; the fast gate keeps
+    # the deployment-shaped GSPMD test below (which covers (2,4)/"de")
+    # and leaves the full grid to the CI-style run.
+    @pytest.mark.slow
     @pytest.mark.parametrize("mesh_shape", [(2, 4), (8, 1), (1, 8)])
     @pytest.mark.parametrize("layout", ["de", "ed"])
     def test_loss_and_grads_match_xla(self, mesh_shape, layout):
@@ -74,6 +79,7 @@ class TestShardedXent:
         assert grad.sharding.spec == P("data", None)
 
 
+@pytest.mark.slow
 class TestShardedXentFuzz:
     @pytest.mark.parametrize("trial", range(4))
     def test_random_shapes_and_meshes(self, trial):
@@ -113,7 +119,10 @@ def _ref_loss_shape(pooled, W, b, labels, layout):
 
 
 class TestFusedTrainOnMesh:
-    @pytest.mark.parametrize("model", ["loglinear", "lse_full"])
+    @pytest.mark.parametrize("model", [
+        "loglinear",
+        pytest.param("lse_full", marks=pytest.mark.slow),
+    ])
     def test_step_parity_fused_vs_xla(self, model):
         mesh = make_mesh((2, 4))
         states = {}

@@ -110,7 +110,9 @@ class TestPallasEngine:
         np.testing.assert_allclose(np.sort(got_sc), np.sort(want_sc),
                                    rtol=1e-3, atol=5e-2)
 
-    @pytest.mark.parametrize("cfg", [CFG_LL, CFG_LSE], ids=["loglinear", "lse"])
+    @pytest.mark.parametrize("cfg", [
+        CFG_LL, pytest.param(CFG_LSE, marks=pytest.mark.slow)],
+        ids=["loglinear", "lse"])
     def test_clustered_adaptive_config_equivalent(self, cfg):
         """ScoreConfig(layout="clustered", adaptive_bins=N) must produce
         the same run as the default pallas engine (config-level wiring of

@@ -26,8 +26,10 @@ def main() -> None:
     n_procs = int(sys.argv[2])
     port = sys.argv[3]
     out_dir = sys.argv[4]
+    local_devices = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}")
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")

@@ -1,4 +1,5 @@
-"""REAL multi-controller validation: 2 OS processes x 4 CPU devices.
+"""REAL multi-controller validation: N OS processes x M CPU devices
+(2x4 and 4x2 pods).
 
 Round-1 VERDICT marked the comm backend "partial — multi-host is
 design-only". jax.distributed works between local processes over a
@@ -24,7 +25,11 @@ import pytest
 
 pytestmark = pytest.mark.slow
 
-N_PROCS = 2
+# (processes, devices per process): the 2x4 pod is the canonical regime;
+# 4x2 proves the coordinator, collectives, and checkpoint roles hold as
+# the process count scales past two (per-process shards get narrower than
+# the model axis groups).
+CONFIGS = [(2, 4), (4, 2)]
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -34,46 +39,51 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope="module")
-def multihost_run(tmp_path_factory):
-    out = tmp_path_factory.mktemp("mh")
+@pytest.fixture(scope="module", params=CONFIGS,
+                ids=[f"{p}x{d}" for p, d in CONFIGS])
+def multihost_run(request, tmp_path_factory):
+    n_procs, local_devices = request.param
+    out = tmp_path_factory.mktemp(f"mh{n_procs}x{local_devices}")
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
-         str(i), str(N_PROCS), str(port), str(out)],
+         str(i), str(n_procs), str(port), str(out), str(local_devices)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for i in range(N_PROCS)]
+        for i in range(n_procs)]
     outputs = [p.communicate(timeout=420)[0] for p in procs]
     for p, text in zip(procs, outputs):
         assert p.returncode == 0, f"worker failed:\n{text[-3000:]}"
-    return out
+    return out, n_procs, local_devices
 
 
 class TestMultiController:
     def test_all_processes_agree(self, multihost_run):
-        rows = [json.load(open(multihost_run / f"proc{i}.json"))
-                for i in range(N_PROCS)]
-        assert all(r["process_count"] == N_PROCS for r in rows)
+        out, n_procs, _ = multihost_run
+        rows = [json.load(open(out / f"proc{i}.json"))
+                for i in range(n_procs)]
+        assert all(r["process_count"] == n_procs for r in rows)
         for r in rows[1:]:
             np.testing.assert_allclose(r["losses"], rows[0]["losses"],
                                        rtol=1e-6)
 
     def test_only_process_zero_wrote_checkpoint(self, multihost_run):
-        rows = [json.load(open(multihost_run / f"proc{i}.json"))
-                for i in range(N_PROCS)]
+        out, n_procs, _ = multihost_run
+        rows = [json.load(open(out / f"proc{i}.json"))
+                for i in range(n_procs)]
         # same path reported everywhere; file exists (written once)
         assert len({r["ckpt_path"] for r in rows}) == 1
         assert all(r["ckpt_exists"] for r in rows)
-        ckpts = os.listdir(multihost_run / "ckpts")
+        ckpts = os.listdir(out / "ckpts")
         assert sorted(ckpts) == ["ckpt-00000002.json", "ckpt-00000002.npz"]
 
     def test_matches_single_process_mesh(self, multihost_run):
-        """The 2-process (2,4) run must produce the same losses as a
-        single-process (2,4) fake-device run — multi-controller execution
-        is an implementation detail, not a numerics change."""
+        """The N-process run must produce the same losses as a
+        single-process fake-device run of the same mesh shape —
+        multi-controller execution is an implementation detail, not a
+        numerics change."""
         import jax
         from sert_tpu.parallel.mesh import make_mesh
         from sert_tpu.parallel.train import make_sharded_train_step
@@ -81,12 +91,14 @@ class TestMultiController:
         from sert_tpu.train.step import init_state
         from sert_tpu.utils.config import ModelConfig, TrainConfig
 
+        out, n_procs, local_devices = multihost_run
+        mesh_shape = (n_procs, local_devices)
         E, V, B = 32, 64, 16
         cfg = ModelConfig(model="loglinear", vocab_size=V, num_entities=E,
                           word_dim=8, fused_softmax="on")
         tcfg = TrainConfig(batch_size=B, learning_rate=1e-2,
-                           donate_state=False, mesh_shape=(2, 4))
-        mesh = make_mesh((2, 4))
+                           donate_state=False, mesh_shape=mesh_shape)
+        mesh = make_mesh(mesh_shape)
         step, init_fn, put_fn = make_sharded_train_step(cfg, tcfg, mesh)
         state = init_fn()
         rng = np.random.default_rng(0)
@@ -99,13 +111,13 @@ class TestMultiController:
             })
             state, metrics = step(state, batch)
             losses.append(float(metrics["loss"]))
-        row0 = json.load(open(multihost_run / "proc0.json"))
+        row0 = json.load(open(out / "proc0.json"))
         np.testing.assert_allclose(row0["losses"], losses, rtol=1e-5)
 
         # checkpoint written by the pod round-trips against a host template
         template = init_state(jax.random.key(tcfg.seed), cfg, tcfg)
         restored, meta = ckpt.load_checkpoint(str(
-            multihost_run / "ckpts" / "ckpt-00000002.npz"), template)
+            out / "ckpts" / "ckpt-00000002.npz"), template)
         assert meta["step"] == 2
         for leaf in jax.tree_util.tree_leaves(restored.params):
             assert np.isfinite(np.asarray(leaf)).all()

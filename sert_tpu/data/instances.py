@@ -107,6 +107,11 @@ class InstanceDataset:
         self.num_instances = int(self.meta["num_instances"])
         self._shard_files = [s["path"] for s in self.meta["shards"]]
 
+    @property
+    def shard_paths(self) -> List[str]:
+        """Absolute paths of the instance shard .npz files, in meta order."""
+        return [os.path.join(self.data_dir, n) for n in self._shard_files]
+
     def num_batches_per_epoch(self, batch_size: int) -> int:
         # Lower bound: per-shard drop-last.
         total = 0

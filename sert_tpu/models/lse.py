@@ -310,7 +310,7 @@ def fold_in_entity_gradient(params: Params, token_ids, cfg: ModelConfig,
     if neg_weight is None:
         neg_weight = float(cfg.num_negatives)
     return _fold_in_opt(pos_reps, jnp.asarray(pos_w),
-                        jnp.asarray(neg_reps, jnp.float32).astype(jnp.float32),
+                        jnp.asarray(neg_reps, jnp.float32),
                         v0, jnp.float32(neg_weight), jnp.float32(lr),
                         steps)
 

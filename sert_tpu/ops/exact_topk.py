@@ -235,8 +235,10 @@ def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
     rescored candidates, so the result is exact. One batch-global
     lax.cond falls back to the full k+pad_bins rescore otherwise. Wins
     when winners concentrate in few bins (the ``layout="clustered"``
-    staging exists to make that true); the bin-max comparison inherits the
-    prefilter-dtype caveat above exactly like bin selection does.
+    staging exists to make that true); the acceptance cut carries an
+    explicit prefilter-dtype margin (bf16 bin maxima round; see the module
+    caveat) so a near-theta bin falls back to the full rescore instead of
+    being silently skipped.
     """
     from sert_tpu.ops.gather_rescore import QB, gather_rescore
 
@@ -244,6 +246,12 @@ def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
     E = prep.num_entities
     bw = prep.bin_width
     k = min(k, E)
+    if adaptive_bins > 0 and adaptive_bins * bw < k:
+        raise ValueError(
+            f"adaptive_bins={adaptive_bins} x bin_width={bw} yields only "
+            f"{adaptive_bins * bw} phase-1 candidates < k={k}; raise "
+            f"adaptive_bins to at least {-(-k // bw)} (or 0 to disable "
+            "the two-phase rescore)")
 
     # Clustered staging permuted the entity rows; bias arrives in ORIGINAL
     # entity order and pairs with rows inside both kernels — permute it
@@ -305,7 +313,20 @@ def exact_topk_prepared(R: jax.Array, prep: PreparedEntities,
     if 0 < adaptive_bins < nb:
         top_s1, top_i1 = rescore_select(adaptive_bins)
         theta = top_s1[:, -1]
-        need_more = jnp.any(bin_vals[:, adaptive_bins:] >= theta[:, None])
+        # Acceptance slack: bin_vals carry the PREFILTER dtype's rounding
+        # while theta is fp32-rescored, so an unrescored bin whose TRUE max
+        # sits within that rounding of theta could round BELOW it and be
+        # wrongly skipped — the same class of reshuffle pad_bins absorbs in
+        # bin selection needs an explicit margin here (there is no pad to
+        # hide behind: acceptance is a hard cut). 2^-7 relative doubles the
+        # documented ~4e-3 bf16 model for product-rounding headroom; the
+        # fp32 prefilter still gets a tiny re-association allowance. A too-
+        # wide margin only costs a fallback to the full rescore, never
+        # exactness.
+        eps = 2.0 ** -7 if prep.Mp.dtype == jnp.bfloat16 else 2.0 ** -20
+        scale = jnp.maximum(jnp.abs(bin_vals[:, 0]), jnp.abs(theta))
+        need_more = jnp.any(
+            bin_vals[:, adaptive_bins:] >= (theta - eps * scale)[:, None])
         top_s, top_i = jax.lax.cond(
             need_more,
             lambda _: rescore_select(nb),

@@ -121,8 +121,12 @@ def load_scorer(run_dir: str, data_dir: str, recipe: RecipeConfig,
         raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
     # Shape-only template: never materialize a throwaway random init (at
     # LSE scale that is 3x the entity matrix in params + Adam moments).
+    # opt_state flavor follows the FILE, not the live config: sparse_update
+    # ="auto" must not brick checkpoints written dense (or vice versa).
+    sparse_opt = ckpt.has_sparse_opt_state(path)
     template = jax.eval_shape(
-        lambda: init_state(jax.random.key(0), recipe.model, recipe.train))
+        lambda: init_state(jax.random.key(0), recipe.model, recipe.train,
+                           sparse_override=sparse_opt))
     state, meta = ckpt.load_checkpoint(path, template)
     trained_hash = meta.get("vocab_hash")
     if trained_hash and trained_hash != vocab.content_hash():
@@ -146,8 +150,19 @@ def sweep_checkpoints(recipe: RecipeConfig, data_dir: str, run_dir: str,
     qrels = read_qrels(qrels_path)
     encoded = encode_queries(topics, vocab, resolved.data)
 
-    template = jax.eval_shape(
-        lambda: init_state(jax.random.key(0), resolved.model, resolved.train))
+    templates: Dict[bool, object] = {}  # opt_state flavor -> shape template
+
+    def template_for(path: str):
+        # opt_state flavor follows each FILE (a run dir can mix snapshots
+        # from before and after a sparse_update default change).
+        sparse_opt = ckpt.has_sparse_opt_state(path)
+        if sparse_opt not in templates:
+            templates[sparse_opt] = jax.eval_shape(
+                lambda: init_state(jax.random.key(0), resolved.model,
+                                   resolved.train,
+                                   sparse_override=sparse_opt))
+        return templates[sparse_opt]
+
     per_step: Dict[str, float] = {}
     ckpts = ckpt.list_checkpoints(os.path.join(run_dir, "checkpoints"))
     if not ckpts:
@@ -164,7 +179,7 @@ def sweep_checkpoints(recipe: RecipeConfig, data_dir: str, run_dir: str,
                 f"vocabulary than {data_dir}")
         if meta.get("cursor") is not None:
             continue  # mid-epoch step checkpoint; sweep epoch snapshots only
-        state, _ = ckpt.load_checkpoint(path, template)
+        state, _ = ckpt.load_checkpoint(path, template_for(path))
         run = score_topics(state.params, resolved.model, encoded,
                            registry.names, resolved.score)
         res = evaluate_run(run, qrels, measures=(measure,))

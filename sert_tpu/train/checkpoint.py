@@ -254,3 +254,16 @@ def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict]:
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
     return _unflatten(template, flat), load_meta(path)
+
+
+def has_sparse_opt_state(path: str) -> bool:
+    """True when the checkpoint was written by the row-sparse lazy-update
+    step (train/sparse.py: opt_state = {"dense": ..., "rows": ...}) rather
+    than a dense optax state. Reads only the npz directory, not the arrays.
+
+    Loaders use this to build a template whose opt_state flavor MATCHES the
+    file: ``sparse_update="auto"`` resolves from the live config, so a
+    checkpoint written before the sparse path existed (or with it off) must
+    not be forced through a sparse-shaped template (and vice versa)."""
+    with np.load(path) as z:
+        return any(k.startswith(".opt_state['dense']") for k in z.files)

@@ -56,6 +56,32 @@ def train(
     os.makedirs(out_dir, exist_ok=True)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
 
+    # Resume must continue with the opt_state flavor the checkpoint HOLDS:
+    # sparse_update="auto" resolving differently than at save time (new
+    # default, edited recipe) would otherwise fail template unflattening —
+    # or worse, silently restart optimizer moments. Pin the mode to the
+    # file before any step/state construction below.
+    latest = ckpt.latest_checkpoint(ckpt_dir) if resume else None
+    if latest is not None and train_step is None and init_fn is None:
+        from dataclasses import replace as _dc_replace
+        from sert_tpu.train import sparse as _sparse
+        ckpt_sparse = ckpt.has_sparse_opt_state(latest)
+        cfg_sparse = _sparse.sparse_enabled(mcfg, tcfg)
+        if ckpt_sparse != cfg_sparse:
+            if ckpt_sparse and not _sparse.sparse_applicable(mcfg, tcfg):
+                raise ValueError(
+                    f"checkpoint {latest} holds row-sparse optimizer state "
+                    "but the current config cannot run the sparse step "
+                    "(see train/sparse.py sparse_applicable); resume with "
+                    "the original optimizer/model settings or start a "
+                    "fresh run dir")
+            tcfg = _dc_replace(
+                tcfg, sparse_update="on" if ckpt_sparse else "off")
+            log.warning(
+                "resume: pinning sparse_update=%r to match the optimizer "
+                "state in %s (config resolved to %r)",
+                tcfg.sparse_update, latest, "on" if cfg_sparse else "off")
+
     noise = None
     if mcfg.model == "lse":
         noise = lse_model.noise_logits(

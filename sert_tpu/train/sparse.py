@@ -43,7 +43,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from sert_tpu.models import api
 from sert_tpu.models import lse as lse_model
 from sert_tpu.models.common import compute_dtype
 from sert_tpu.utils.config import ModelConfig, TrainConfig

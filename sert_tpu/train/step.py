@@ -88,11 +88,19 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def init_state(rng: jax.Array, model_cfg: ModelConfig,
-               train_cfg: TrainConfig) -> TrainState:
+               train_cfg: TrainConfig,
+               sparse_override: Optional[bool] = None) -> TrainState:
+    """``sparse_override`` pins the opt_state flavor regardless of what the
+    config resolves to — loaders pass ``checkpoint.has_sparse_opt_state`` so
+    templates always match the file on disk (checkpoints written before the
+    sparse path existed hold dense optax state even for configs that now
+    resolve to sparse, and vice versa)."""
     k_params, k_train = jax.random.split(rng)
     params = api.init_params(k_params, model_cfg)
     from sert_tpu.train import sparse
-    if sparse.sparse_enabled(model_cfg, train_cfg):
+    use_sparse = (sparse.sparse_enabled(model_cfg, train_cfg)
+                  if sparse_override is None else bool(sparse_override))
+    if use_sparse:
         opt_state = sparse.init_sparse_opt_state(params, train_cfg)
     else:
         opt_state = make_optimizer(train_cfg).init(params)

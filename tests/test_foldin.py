@@ -321,3 +321,67 @@ class TestFoldIn:
         finally:
             server.shutdown()
             server.server_close()
+
+
+class TestGradientNegativePool:
+    def test_raw_pool_samples_real_training_windows(self, lse_workdir,
+                                                    monkeypatch):
+        """The gradient fold-in's negative pool must come from the REAL
+        instance shards when the data dir is intact (regression: a wrong
+        attribute name made the shard path dead code and the broad except
+        silently routed every call to the lm_stats fallback)."""
+        root, recipe, col = lse_workdir
+        from sert_tpu.data import instances as inst_mod
+
+        consulted = []
+        real_cls = inst_mod.InstanceDataset
+
+        class Spy(real_cls):
+            @property
+            def shard_paths(self):
+                p = real_cls.shard_paths.fget(self)
+                consulted.append(p[0])
+                return p
+
+        monkeypatch.setattr(inst_mod, "InstanceDataset", Spy)
+        s = EntitySearcher(recipe, str(root / "data"), str(root / "run"),
+                           k=10)
+        reps = s._background_reps(raw=True)
+        assert consulted, "real-window negative pool was not consulted"
+        with np.load(consulted[0]) as z:
+            n_shard = z["windows"].shape[0]
+        # Pool size tracks the SHARD (fallback would always synthesize
+        # exactly 2048 iid windows regardless).
+        assert reps.shape[0] == min(2048, n_shard)
+
+    def test_shard_paths_exist(self, lse_workdir):
+        root, _, _ = lse_workdir
+        from sert_tpu.data.instances import InstanceDataset
+        import os
+        paths = InstanceDataset(str(root / "data")).shard_paths
+        assert paths and all(os.path.exists(p) for p in paths)
+
+    def test_raw_pool_excludes_entity_own_windows(self, lse_workdir):
+        """Windows that are mostly the folded entity's own text must be
+        dropped from its negative pool (positives used as negatives repel
+        the embedding from its own direction — measured corr 0.93 -> 0.99
+        on the twin contract)."""
+        root, recipe, col = lse_workdir
+        s = EntitySearcher(recipe, str(root / "data"), str(root / "run"),
+                           k=10)
+        target = col.entities[6]
+        text = " ".join(t for d, es in col.doc_entities.items()
+                        for t in col.docs[d].split() if target in es)
+        ids = s.encode(text)
+        full = s._background_reps(raw=True)
+        filtered = s._raw_negative_reps(ids)
+        wins, lens = s._bg_raw_pool
+        member = np.isin(wins, np.asarray(ids, np.int32))
+        valid = np.arange(wins.shape[1])[None, :] < lens[:, None]
+        frac = (member & valid).sum(1) / np.maximum(lens, 1)
+        n_contam = int((frac > 0.5).sum())
+        assert n_contam > 0              # the twin's text IS in the shards
+        assert filtered.shape[0] == full.shape[0] - n_contam
+        # an unrelated entity's pool is (nearly) untouched
+        other = s.encode("zzzunknownzzz " + col.topics[sorted(col.topics)[0]])
+        assert s._raw_negative_reps(other).shape[0] >= filtered.shape[0]

@@ -355,3 +355,48 @@ class TestPrefilterTrainedGeometry:
                 assert not real, (
                     f"{dtype} prefilter missed {real} at margins "
                     f"{[float(kth[q, 0] - scores[q, m]) for m in real]}")
+
+
+class TestAdaptiveAcceptanceMargin:
+    """The adaptive two-phase acceptance cut must carry prefilter-dtype
+    slack: bf16 bin maxima round, so an unrescored bin whose TRUE max
+    beats the provisional theta by less than bf16 resolution would
+    otherwise be skipped — unlike bin selection, there is no pad_bins to
+    absorb the reshuffle (regression test for the margin)."""
+
+    def test_near_tie_bin_falls_back_not_skipped(self):
+        from sert_tpu.ops.exact_topk import (exact_topk_prepared,
+                                             prepare_entities)
+        d, bw = 8, 128
+        # Bin 0: scores 1.0 + i*1e-5 (i = 0..127). Bin 1: one entity at
+        # 1.001265 — truly the SECOND best overall, but bf16 collapses
+        # every bin-max to 1.0, so a margin-less acceptance cut at
+        # theta ~ 1.00124 (the phase-1 k-th) would skip bin 1 entirely.
+        s_bin0 = 1.0 + np.arange(128) * 1e-5
+        s_bin1 = np.zeros(128)
+        s_bin1[0] = 1.001265
+        scores = np.concatenate([s_bin0, s_bin1]).astype(np.float32)
+        M = np.zeros((256, d), np.float32)
+        M[:, 0] = scores
+        R = np.zeros((1, d), np.float32)
+        R[0, 0] = 1.0
+        prep = prepare_entities(jnp.asarray(M))
+        assert prep.bin_width == bw
+        k = 4
+        top_s, top_i = exact_topk_prepared(jnp.asarray(R), prep, k=k,
+                                           adaptive_bins=1)
+        order = np.argsort(scores)[::-1][:k]
+        np.testing.assert_array_equal(np.sort(np.asarray(top_i[0])),
+                                      np.sort(order))
+        np.testing.assert_allclose(np.asarray(top_s[0]),
+                                   np.sort(scores[order])[::-1],
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_adaptive_bins_too_small_for_k_raises(self):
+        from sert_tpu.ops.exact_topk import (exact_topk_prepared,
+                                             prepare_entities)
+        rng = np.random.default_rng(3)
+        R, M = _data(rng, Q=2, E=2048)
+        prep = prepare_entities(M)
+        with pytest.raises(ValueError, match="adaptive_bins"):
+            exact_topk_prepared(R, prep, k=200, adaptive_bins=1)

@@ -175,3 +175,55 @@ class TestMicroBatch:
         # dispatch; strictly fewer engine calls than clients proves the
         # HTTP surface rides the batcher (usually far fewer).
         assert d < 12
+
+    def test_batch_failure_isolated_per_request(self, searcher):
+        """One request's input-dependent failure inside a coalesced
+        dispatch must NOT surface as errors for the unrelated concurrent
+        clients: the leader retries each request alone, so only the
+        offending one raises (regression: the whole batch used to inherit
+        the first exception)."""
+        s, col = searcher
+        texts = _queries(col, 6)
+        poison = texts[0]
+        poison_ids = s.encode(poison)
+        serial = [s.search(t) for t in texts[1:]]
+
+        real = s._score
+        release = threading.Event()
+
+        def scorer(encoded):
+            if any(list(ids) == list(poison_ids) for ids in encoded.values()):
+                raise RuntimeError("poisoned query")
+            out = real(encoded)
+            if not release.is_set():     # slow only the first (leader) call
+                release.set()
+                import time
+                time.sleep(0.3)
+            return out
+
+        s._score = scorer
+        results = {}
+        errors = {}
+        try:
+            def worker(i, text):
+                try:
+                    results[i] = s.search(text)
+                except RuntimeError as e:
+                    errors[i] = str(e)
+
+            threads = [threading.Thread(target=worker, args=(i, t))
+                       for i, t in enumerate([texts[1]] + texts)]
+            threads[0].start()           # clean leader occupies the device
+            release.wait(timeout=5)
+            for t in threads[1:]:        # poison + clean pile up together
+                t.start()
+            for t in threads:
+                t.join(timeout=30)
+        finally:
+            s._score = real
+        assert list(errors.values()) == ["poisoned query"]
+        assert errors and 1 in errors    # only the poisoned request failed
+        for i, want in [(0, serial[0]), (2, serial[0])] + \
+                       [(i + 1, serial[i - 1]) for i in range(2, 6)]:
+            assert results[i] == want, i
+        assert s.search(texts[1])        # batcher healthy afterwards

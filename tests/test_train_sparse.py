@@ -221,3 +221,88 @@ class TestBf16Params:
         assert state.params["entity_emb"].dtype == jnp.bfloat16
         assert (state.opt_state["rows"]["entity_emb"]["m"].dtype
                 == jnp.bfloat16)  # matches optax zeros_like dense layout
+
+
+class TestCheckpointFlavorCompat:
+    """Checkpoints written with one opt_state flavor (dense optax vs
+    train/sparse.py's {"dense","rows"}) must stay loadable when
+    sparse_update resolves differently at load time — the "auto" default
+    flipping on was a measured bricking of every pre-sparse checkpoint."""
+
+    def test_flavor_detection(self, tmp_path):
+        from sert_tpu.train import checkpoint as ckpt
+        mcfg = _cfg()
+        dense_state, _ = _run(mcfg, _tcfg(sparse_update="off"), 1)
+        sparse_state, _ = _run(mcfg, _tcfg(), 1)
+        p_dense = ckpt.save_checkpoint(str(tmp_path / "d"), 1, dense_state)
+        p_sparse = ckpt.save_checkpoint(str(tmp_path / "s"), 1, sparse_state)
+        assert not ckpt.has_sparse_opt_state(p_dense)
+        assert ckpt.has_sparse_opt_state(p_sparse)
+
+    def test_dense_checkpoint_loads_under_auto_config(self, tmp_path):
+        from sert_tpu.train import checkpoint as ckpt
+        mcfg, tc_off, tc_auto = _cfg(), _tcfg(sparse_update="off"), _tcfg()
+        state, _ = _run(mcfg, tc_off, 2)
+        path = ckpt.save_checkpoint(str(tmp_path), int(state.step), state)
+        # The regression premise: the auto-resolved (sparse) template fails.
+        bad = jax.eval_shape(
+            lambda: init_state(jax.random.key(0), mcfg, tc_auto))
+        with pytest.raises(KeyError):
+            ckpt.load_checkpoint(path, bad)
+        # The loader contract: flavor follows the file.
+        tpl = jax.eval_shape(lambda: init_state(
+            jax.random.key(0), mcfg, tc_auto,
+            sparse_override=ckpt.has_sparse_opt_state(path)))
+        restored, _ = ckpt.load_checkpoint(path, tpl)
+        np.testing.assert_array_equal(np.asarray(restored.params["entity_emb"]),
+                                      np.asarray(state.params["entity_emb"]))
+
+    def test_resume_pins_flavor_to_checkpoint(self, tmp_path):
+        """train(resume=True) over a dir checkpointed DENSE, under a config
+        that now auto-resolves SPARSE, must pin to dense and finish."""
+        import dataclasses
+
+        from sert_tpu.data import Associations, EntityRegistry, InstanceDataset
+        from sert_tpu.data.prepare import prepare
+        from sert_tpu.data.synthetic import make_synthetic
+        from sert_tpu.train.loop import train
+        from sert_tpu.utils.config import DataConfig, RecipeConfig
+
+        col = make_synthetic(num_entities=E, vocab_size=80, docs_per_entity=3,
+                             doc_len=30, num_topics=3, seed=0)
+        reg = EntityRegistry(col.entities)
+        assoc = Associations()
+        for d, es in col.doc_entities.items():
+            for e in es:
+                assoc.add(d, reg.id(e))
+        ddir = str(tmp_path / "data")
+        prepare(col.docs, assoc, reg, ddir,
+                DataConfig(window_size=W, vocab_min_count=1))
+        ds = InstanceDataset(ddir)
+        mcfg = dataclasses.replace(_cfg(), vocab_size=max(
+            V, int(ds.meta["vocab_size"])))
+        tc_off = _tcfg(sparse_update="off", num_epochs=1,
+                       checkpoint_every_steps=1, async_checkpoint=False,
+                       batch_size=8)
+        out = str(tmp_path / "run")
+        train(RecipeConfig(name="t", model=mcfg, train=tc_off), ds, out,
+              deterministic_feed=True)
+        tc_auto = dataclasses.replace(tc_off, sparse_update="auto",
+                                      num_epochs=2)
+        final = train(RecipeConfig(name="t", model=mcfg, train=tc_auto), ds,
+                      out, deterministic_feed=True)
+        # Continued DENSE: opt_state stayed an optax tree, not {"dense","rows"}.
+        assert not isinstance(final.opt_state, dict)
+
+    def test_resume_sparse_checkpoint_inapplicable_config_raises(
+            self, tmp_path):
+        from sert_tpu.train import checkpoint as ckpt
+        from sert_tpu.train.loop import train
+        from sert_tpu.utils.config import RecipeConfig
+        mcfg = _cfg()
+        state, _ = _run(mcfg, _tcfg(), 1)           # sparse flavor
+        ckpt.save_checkpoint(str(tmp_path / "run" / "checkpoints"), 1, state)
+        tc_bad = _tcfg(optimizer="adafactor")       # sparse-inapplicable
+        with pytest.raises(ValueError, match="row-sparse optimizer state"):
+            train(RecipeConfig(name="t", model=mcfg, train=tc_bad),
+                  dataset=None, out_dir=str(tmp_path / "run"))

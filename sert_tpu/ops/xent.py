@@ -321,6 +321,236 @@ def _xent_bwd(layout, tb, te, interpret, dtype, residuals, g):
 xent_loss.defvjp(_xent_fwd, _xent_bwd)
 
 
+# ------------- backward fused with the optimizer update ----------------------
+#
+# The dense-softmax train step's HBM traffic over the [d, E] entity matrix
+# is pass-bound: fwd reads W; bwd reads W and WRITES dW; the (XLA-fused)
+# optimizer then reads dW, m, v, W and writes W, m, v — 10 matrix-sized
+# passes. Applying the optimizer INSIDE the backward sweep's final dW
+# revisit removes dW from HBM entirely and reuses the bwd's W tile: fwd
+# reads W; bwd reads W, m, v and writes W', m', v' — 7 passes. The same
+# kernel also accumulates dpooled in a VMEM-resident output block instead
+# of the [nE, Bp, dp] HBM transient the plain backward pays (possible here
+# because the fused-update tiles are narrow enough that Bp*dp fits VMEM).
+# Semantics match optax scale_by_adam / scale_by_rss / sgd exactly (the
+# same contracts train/sparse.py mirrors for rows); gradient scaling
+# (mean-loss 1/B) is folded in via ``gscale``.
+
+_FUSED_TE = {"adam": 512, "adagrad": 1024, "sgd": 2048}  # VMEM-budgeted
+
+
+def _bwd_update_kernel(*refs, te, e_total, layout, ct, opt, lr, b1, b2,
+                       eps, gscale, n_i, tb):
+    if opt == "adam":
+        (sc_ref, p_ref, w_ref, b_ref, lse_ref, lab_ref, m_ref, v_ref,
+         wout_ref, mout_ref, vout_ref, db_ref, dp_ref, gsq_ref,
+         dw_scr) = refs
+    elif opt == "adagrad":
+        (p_ref, w_ref, b_ref, lse_ref, lab_ref, a_ref,
+         wout_ref, aout_ref, db_ref, dp_ref, gsq_ref, dw_scr) = refs
+    else:                                                  # sgd
+        (p_ref, w_ref, b_ref, lse_ref, lab_ref,
+         wout_ref, db_ref, dp_ref, gsq_ref, dw_scr) = refs
+    j, i = pl.program_id(0), pl.program_id(1)
+    p = _p_tile(p_ref, w_ref, b_ref, lse_ref, lab_ref, j, te=te,
+                e_total=e_total, layout=layout, ct=ct)
+    pooled = p_ref[:]
+    w = w_ref[:].astype(ct)
+    # Entity-validity mask in the W tile's own layout (see _bwd_kernel: the
+    # OOB tail tile's unspecified contents must not leak into dpooled, and
+    # here additionally not into the gradient/norm/update math).
+    eaxis = 1 if layout == "de" else 0
+    ecols = j * te + jax.lax.broadcasted_iota(jnp.int32, w.shape, eaxis)
+    wmask = ecols < e_total
+    wz = jnp.where(wmask, w, jnp.zeros((), ct))
+    pc = p.astype(ct)
+    if layout == "de":
+        dw = jnp.dot(pooled.T, pc, preferred_element_type=jnp.float32)
+        dpp = jnp.dot(pc, wz.T, preferred_element_type=jnp.float32)
+    else:
+        dw = jnp.dot(pc.T, pooled, preferred_element_type=jnp.float32)
+        dpp = jnp.dot(pc, wz, preferred_element_type=jnp.float32)
+    db = jnp.sum(p, axis=0)[None, :]
+
+    # dpooled: accumulate into the ONE [Bp, dp] output block (constant
+    # index map keeps it VMEM-resident for the whole sweep; flushed once).
+    rows = pl.ds(i * tb, tb)
+
+    @pl.when(j == 0)
+    def _():
+        dp_ref[rows, :] = dpp
+
+    @pl.when(j > 0)
+    def _():
+        dp_ref[rows, :] += dpp
+
+    @pl.when(i == 0)
+    def _():
+        dw_scr[:] = dw
+        db_ref[:] = db
+
+    @pl.when(i > 0)
+    def _():
+        dw_scr[:] += dw
+        db_ref[:] += db
+
+    @pl.when(i == n_i - 1)
+    def _():
+        # The tile's full gradient is in; apply the optimizer to this W
+        # block. OOB columns are zeroed in g (their m/v loads are
+        # unspecified, but the corresponding stores are masked off).
+        g = jnp.where(wmask, dw_scr[:] * gscale, 0.0)
+        gsq_ref[0, 0] = jnp.sum(g * g)
+        wf = w_ref[:].astype(jnp.float32)
+        if opt == "adam":
+            bc1, bc2 = sc_ref[0, 0], sc_ref[0, 1]
+            m2 = b1 * m_ref[:].astype(jnp.float32) + (1.0 - b1) * g
+            v2 = b2 * v_ref[:].astype(jnp.float32) + (1.0 - b2) * g * g
+            upd = lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+            mout_ref[:] = m2.astype(mout_ref.dtype)
+            vout_ref[:] = v2.astype(vout_ref.dtype)
+        elif opt == "adagrad":
+            a2 = a_ref[:].astype(jnp.float32) + g * g
+            upd = lr * g * jnp.where(a2 > 0, jax.lax.rsqrt(a2 + eps), 0.0)
+            aout_ref[:] = a2.astype(aout_ref.dtype)
+        else:                                              # sgd
+            upd = lr * g
+        wout_ref[:] = (wf - upd).astype(wout_ref.dtype)
+
+
+def xent_bwd_apply(pooled_p, W_k, b_p, lse_m, lab_m, *, e_total, layout,
+                   opt, opt_tree, lr, bias_corr, gscale, tb, te,
+                   interpret, ct):
+    """Fused backward + optimizer update over (row-padded) operands.
+
+    ``opt_tree``: {"m","v"} (adam) / {"acc"} (adagrad) / {} (sgd), arrays
+    shaped like ``W_k``. ``bias_corr``: [1, 2] f32 (1-b1^t, 1-b2^t), adam
+    only. Returns (W_new, opt_tree_new, db, dpooled, gsq) where db/dpooled
+    are UNSCALED sum-loss gradients (the W update itself already folded
+    ``gscale`` in) and gsq = ||gscale * dW||^2 for the caller's grad-norm
+    metric. W/m/v HBM buffers are donated via input-output aliasing."""
+    Bp, dp = pooled_p.shape
+    nB, nE = Bp // tb, -(-e_total // te)
+    Ep = nE * te
+
+    _, w_spec, b_spec = _specs(tb, te, dp, layout)
+    w_idx_ji = ((lambda j, i: (0, j)) if layout == "de"
+                else (lambda j, i: (j, 0)))
+    p_spec_ji = pl.BlockSpec((tb, dp), lambda j, i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((tb, 1), lambda j, i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    wkind = w_spec(w_idx_ji)
+    w_shape = jax.ShapeDtypeStruct(W_k.shape, W_k.dtype)
+
+    kern = functools.partial(
+        _bwd_update_kernel, te=te, e_total=e_total, layout=layout, ct=ct,
+        opt=opt, lr=float(lr), b1=0.9, b2=0.999,
+        eps=(1e-8 if opt == "adam" else 1e-7), gscale=float(gscale),
+        n_i=nB, tb=tb)
+
+    common_outs = [
+        pl.BlockSpec((1, te), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),            # db
+        pl.BlockSpec((Bp, dp), lambda j, i: (0, 0),
+                     memory_space=pltpu.VMEM),            # dpooled
+        pl.BlockSpec((1, 1), lambda j, i: (j, 0),
+                     memory_space=pltpu.VMEM),            # gsq per tile
+    ]
+    common_shapes = [jax.ShapeDtypeStruct((1, Ep), jnp.float32),
+                     jax.ShapeDtypeStruct((Bp, dp), jnp.float32),
+                     jax.ShapeDtypeStruct((nE, 1), jnp.float32)]
+    scratch = [pltpu.VMEM(((dp, te) if layout == "de" else (te, dp)),
+                          jnp.float32)]
+
+    if opt == "adam":
+        st_spec = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            (opt_tree["m"], opt_tree["v"]))
+        out = pl.pallas_call(
+            kern, grid=(nE, nB),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),   # bias_corr
+                      p_spec_ji, wkind, b_spec(lambda j, i: (0, j)),
+                      row_spec, row_spec, wkind, wkind],
+            out_specs=[wkind, wkind, wkind] + common_outs,
+            out_shape=[w_shape, st_spec[0], st_spec[1]] + common_shapes,
+            input_output_aliases={2: 0, 6: 1, 7: 2},
+            scratch_shapes=scratch, interpret=interpret,
+        )(bias_corr, pooled_p, W_k, b_p, lse_m, lab_m,
+          opt_tree["m"], opt_tree["v"])
+        W_new, m_new, v_new, db, dpooled, gsq = out
+        st_new = {"m": m_new, "v": v_new}
+    elif opt == "adagrad":
+        a_spec = jax.ShapeDtypeStruct(opt_tree["acc"].shape,
+                                      opt_tree["acc"].dtype)
+        out = pl.pallas_call(
+            kern, grid=(nE, nB),
+            in_specs=[p_spec_ji, wkind, b_spec(lambda j, i: (0, j)),
+                      row_spec, row_spec, wkind],
+            out_specs=[wkind, wkind] + common_outs,
+            out_shape=[w_shape, a_spec] + common_shapes,
+            input_output_aliases={1: 0, 5: 1},
+            scratch_shapes=scratch, interpret=interpret,
+        )(pooled_p, W_k, b_p, lse_m, lab_m, opt_tree["acc"])
+        W_new, a_new, db, dpooled, gsq = out
+        st_new = {"acc": a_new}
+    else:                                                  # sgd
+        out = pl.pallas_call(
+            kern, grid=(nE, nB),
+            in_specs=[p_spec_ji, wkind, b_spec(lambda j, i: (0, j)),
+                      row_spec, row_spec],
+            out_specs=[wkind] + common_outs,
+            out_shape=[w_shape] + common_shapes,
+            input_output_aliases={1: 0},
+            scratch_shapes=scratch, interpret=interpret,
+        )(pooled_p, W_k, b_p, lse_m, lab_m)
+        W_new, db, dpooled, gsq = out
+        st_new = {}
+    return W_new, st_new, db, dpooled, jnp.sum(gsq)
+
+
+def xent_loss_apply(pooled, W, b, labels, *, opt, opt_tree, lr, count,
+                    gscale, layout="de", tb: int = 256,
+                    te: Optional[int] = None,
+                    interpret: Optional[bool] = None,
+                    dtype: str = "float32"):
+    """Fused softmax-xent loss + backward + optimizer update of W.
+
+    One forward partials sweep (loss) + one backward sweep that applies
+    adam/adagrad/sgd to W in its final dW revisit (see the section comment
+    for the HBM-pass arithmetic). Returns
+    (loss_sum, W_new, opt_tree_new, db_scaled, dpooled_scaled, gsq):
+    db/dpooled carry ``gscale`` so they ARE the mean-loss gradients the
+    caller backprops / applies; gsq = ||scaled dW||^2 for grad-norm
+    metrics. NOT differentiable — it performs the update itself.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    if te is None:
+        te = _FUSED_TE[opt]
+    ct = _ct(dtype)
+    loss, residuals = _xent_fwd(pooled, W, b, labels, layout, tb, te,
+                                interpret, dtype)
+    pooled_p, W_k, b_p, labels_p, lse, B, E, d_orig = residuals
+    if W_k.shape != W.shape:
+        raise ValueError(
+            f"fused update needs W's non-entity axis LANES-aligned "
+            f"(got {W.shape}); pad word/entity dim to a multiple of "
+            f"{LANES} or disable fused_update")
+    Bp = pooled_p.shape[0]
+    row = jnp.arange(Bp)
+    lse_m = jnp.where(row < B, lse, 1e30)[:, None]
+    lab_m = jnp.where(row < B, labels_p, -1)[:, None]
+    t = (jnp.asarray(count, jnp.float32) + 1.0)
+    bias_corr = jnp.stack([1.0 - 0.9 ** t, 1.0 - 0.999 ** t])[None, :]
+    W_new, st_new, db, dpooled, gsq = xent_bwd_apply(
+        pooled_p, W_k, b_p, lse_m, lab_m, e_total=E, layout=layout,
+        opt=opt, opt_tree=opt_tree, lr=lr, bias_corr=bias_corr,
+        gscale=gscale, tb=tb, te=te, interpret=interpret, ct=ct)
+    return (loss, W_new, st_new, gscale * db[0, :E],
+            gscale * dpooled[:B, :d_orig], gsq)
+
+
 # --------------------- sharded (shard_map) variant ---------------------------
 #
 # The [D]-mandated deployment of this kernel is "fused pass ... with

@@ -1,0 +1,251 @@
+"""Optimizer update fused into the dense-softmax backward kernel.
+
+The dense full-softmax train step (loglinear — SURVEY.md section 1, model
+family 1 — and the lse_full cross-check mode) is HBM-pass-bound on the
+[d, E] entity matrix: forward reads W; backward reads W and writes dW; the
+XLA-fused optimizer chain then reads dW, m, v, W and writes W, m, v — ten
+matrix-sized passes per step. ops/xent.xent_loss_apply applies the
+optimizer inside the backward sweep's final dW revisit instead: forward
+reads W; backward reads W, m, v and writes W', m', v' — seven passes, and
+the [nE, Bp, dp] dpooled HBM transient of the plain backward becomes a
+VMEM-resident accumulator on top.
+
+The remaining (small) leaves — word_emb, and the LSE projection — update
+with the SAME optimizer arithmetic in XLA, replicated from optax exactly
+like train/sparse.py's row path, and the result is written back into the
+standard optax state tree (ScaleByAdamState / ScaleByRssState surgery), so
+the checkpoint layout is byte-identical to the dense step's: runs can
+switch fused_update on/off across resumes freely.
+
+Applicability (mirrored by ``TrainConfig.fused_update="auto"``): dense
+softmax model (loglinear / lse_full), optimizer in (adam, adagrad, sgd),
+no weight decay, no gradient clipping (the global norm would need dW
+before any update), single device, and a batch small enough that the
+[Bp, dp] dpooled accumulator fits VMEM.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sert_tpu.models.common import compute_dtype, masked_mean_embed
+from sert_tpu.utils.config import ModelConfig, TrainConfig
+
+# The kernel accumulates dpooled in one VMEM-resident [Bp, dp] block.
+_DPOOL_VMEM_BYTES = 4 << 20
+
+
+def fused_applicable(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
+    """True when the fused-update step exists AND matches the dense step's
+    semantics exactly (see module docstring)."""
+    d = (model_cfg.word_dim if model_cfg.model == "loglinear"
+         else model_cfg.entity_dim)
+    bp = -(-train_cfg.batch_size // 256) * 256
+    return (
+        model_cfg.model in ("loglinear", "lse_full")
+        and train_cfg.optimizer in ("adam", "adagrad", "sgd")
+        and train_cfg.weight_decay == 0.0
+        and train_cfg.grad_clip_norm == 0.0
+        and tuple(train_cfg.mesh_shape) == (1, 1)
+        and d % 128 == 0
+        and bp * max(d, 128) * 4 <= _DPOOL_VMEM_BYTES
+    )
+
+
+def fused_enabled(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
+    mode = getattr(train_cfg, "fused_update", "auto")
+    if mode == "off":
+        return False
+    if mode == "auto":
+        # Auto additionally requires the fused xent kernel itself to be
+        # the active loss path (TPU backend or an explicit fused_softmax
+        # override) — on other backends the XLA composition wins.
+        from sert_tpu.models.loglinear import _use_fused
+        return fused_applicable(model_cfg, train_cfg) and _use_fused(
+            model_cfg)
+    if mode == "on":
+        if not fused_applicable(model_cfg, train_cfg):
+            raise ValueError(
+                "fused_update='on' requires model in (loglinear, lse_full), "
+                "optimizer in (adam, adagrad, sgd), weight_decay=0, "
+                "grad_clip_norm=0, mesh_shape=(1, 1), word/entity dim a "
+                "multiple of 128, and batch_size*dim*4 <= 4MB; got "
+                f"model={model_cfg.model!r} "
+                f"optimizer={train_cfg.optimizer!r} "
+                f"weight_decay={train_cfg.weight_decay} "
+                f"grad_clip_norm={train_cfg.grad_clip_norm} "
+                f"mesh={tuple(train_cfg.mesh_shape)} "
+                f"batch={train_cfg.batch_size}")
+        return True
+    raise ValueError(f"unknown fused_update mode: {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# optax-equivalent XLA updates for the small leaves + state surgery
+
+
+def _leaf_update(optimizer: str, p, g, st: Dict, lr: float, t):
+    """One optimizer step for a non-matrix leaf; mirrors optax exactly
+    (same contracts as train/sparse._row_update, full-tensor form).
+    Returns (p_new, st_new) with st keyed like _opt_tree_of."""
+    g = g.astype(jnp.float32)
+    if optimizer == "sgd":
+        return (p - lr * g).astype(p.dtype), {}
+    if optimizer == "adagrad":
+        acc = st["acc"].astype(jnp.float32) + jnp.square(g)
+        inv = jnp.where(acc > 0, jax.lax.rsqrt(acc + 1e-7), 0.0)
+        return ((p - lr * g * inv).astype(p.dtype),
+                {"acc": acc.astype(st["acc"].dtype)})
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    tf = t.astype(jnp.float32)
+    m = b1 * st["m"].astype(jnp.float32) + (1.0 - b1) * g
+    v = b2 * st["v"].astype(jnp.float32) + (1.0 - b2) * jnp.square(g)
+    m_hat = m / (1.0 - jnp.power(b1, tf))
+    v_hat = v / (1.0 - jnp.power(b2, tf))
+    return ((p - lr * m_hat / (jnp.sqrt(v_hat) + eps)).astype(p.dtype),
+            {"m": m.astype(st["m"].dtype), "v": v.astype(st["v"].dtype)})
+
+
+def _opt_tree_of(optimizer: str, opt_state, key: str) -> Dict:
+    """Extract {m,v}/{acc}/{} for one param leaf from the optax state."""
+    inner = opt_state[0]
+    if optimizer == "adam":
+        return {"m": inner.mu[key], "v": inner.nu[key]}
+    if optimizer == "adagrad":
+        return {"acc": inner.sum_of_squares[key]}
+    return {}
+
+
+def _check_state_shape(optimizer: str, opt_state) -> None:
+    inner = opt_state[0]
+    want = {"adam": ("count", "mu", "nu"), "adagrad": ("sum_of_squares",),
+            "sgd": ()}[optimizer]
+    for attr in want:
+        if not hasattr(inner, attr):
+            raise ValueError(
+                f"unexpected optax state {type(inner).__name__!r} for "
+                f"{optimizer}; fused_update expects the stock "
+                "adam/adagrad/sgd layout — set fused_update='off'")
+
+
+def _rebuild_state(optimizer: str, opt_state, new_trees: Dict[str, Dict]):
+    """Splice per-leaf updated slots back into the optax state tuple."""
+    inner = opt_state[0]
+    if optimizer == "sgd":
+        return opt_state
+    if optimizer == "adagrad":
+        sos = dict(inner.sum_of_squares)
+        for k, st in new_trees.items():
+            sos[k] = st["acc"]
+        return (inner._replace(sum_of_squares=sos),) + tuple(opt_state[1:])
+    mu, nu = dict(inner.mu), dict(inner.nu)
+    for k, st in new_trees.items():
+        mu[k] = st["m"]
+        nu[k] = st["v"]
+    return (inner._replace(count=inner.count + 1, mu=mu, nu=nu),
+            ) + tuple(opt_state[1:])
+
+
+# ---------------------------------------------------------------------------
+# The step
+
+
+def make_fused_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                          noise: Optional[jax.Array] = None,
+                          jit: bool = True):
+    """Build the fused-update train step (same contract as
+    train.step.make_train_step, including steps_per_call scanning)."""
+    from sert_tpu.ops.xent import xent_loss_apply
+    from sert_tpu.train.step import TrainState
+
+    if not fused_applicable(model_cfg, train_cfg):
+        raise ValueError("fused step built for an inapplicable config; "
+                         "see fused_applicable")
+    del noise  # full softmax: no sampling
+    cfg, opt_name, lr = model_cfg, train_cfg.optimizer, train_cfg.learning_rate
+    loglin = cfg.model == "loglinear"
+    mat_key = "proj_w" if loglin else "entity_emb"
+    layout = "de" if loglin else "ed"
+    ct = compute_dtype(cfg)
+
+    def step(state: TrainState, batch: Dict[str, jax.Array]
+             ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng, _ = jax.random.split(state.rng)      # same rng walk as dense
+        params, opt_state = state.params, state.opt_state
+        _check_state_shape(opt_name, opt_state)
+        count = (opt_state[0].count if opt_name == "adam"
+                 else state.step)
+        t_new = count + 1
+        B = batch["windows"].shape[0]
+
+        if loglin:
+            def head(word_emb):
+                return masked_mean_embed(
+                    word_emb.astype(ct), batch["windows"],
+                    batch["lengths"]).astype(jnp.float32)
+            head_in = (params["word_emb"],)
+            bias = params["proj_b"]
+        else:
+            def head(word_emb, proj_w, proj_b):
+                pooled = masked_mean_embed(
+                    word_emb.astype(ct), batch["windows"], batch["lengths"])
+                h = jnp.dot(pooled, proj_w.astype(ct),
+                            preferred_element_type=jnp.float32)
+                return jnp.tanh(h + proj_b.astype(jnp.float32))
+            head_in = (params["word_emb"], params["proj_w"],
+                       params["proj_b"])
+            bias = jnp.zeros((cfg.num_entities,), jnp.float32)
+
+        pooled, head_vjp = jax.vjp(head, *head_in)
+        loss_sum, W_new, st_new, db, dpooled, gsq = xent_loss_apply(
+            pooled, params[mat_key], bias, batch["entities"],
+            opt=opt_name, opt_tree=_opt_tree_of(opt_name, opt_state,
+                                                mat_key),
+            lr=lr, count=count, gscale=1.0 / B, layout=layout,
+            dtype=cfg.compute_dtype)
+        head_grads = head_vjp(dpooled)
+
+        new_params = dict(params)
+        new_params[mat_key] = W_new
+        new_trees = {mat_key: st_new}
+        if loglin:
+            # db IS the proj_b gradient here; for lse_full the kernel bias
+            # is a constant zero vector, not a parameter — db is discarded.
+            leaf_grads = {"word_emb": head_grads[0], "proj_b": db}
+        else:
+            leaf_grads = dict(zip(("word_emb", "proj_w", "proj_b"),
+                                  head_grads))
+        grads_sq = gsq
+        for name in leaf_grads:
+            g = leaf_grads[name]
+            p_new, st = _leaf_update(
+                opt_name, params[name], g,
+                _opt_tree_of(opt_name, opt_state, name), lr, t_new)
+            new_params[name] = p_new
+            new_trees[name] = st
+            grads_sq = grads_sq + jnp.sum(
+                jnp.square(g.astype(jnp.float32)))
+
+        new_state = TrainState(
+            params=new_params,
+            opt_state=_rebuild_state(opt_name, opt_state, new_trees),
+            step=state.step + 1, rng=rng)
+        metrics = {"loss": loss_sum / B, "grad_norm": jnp.sqrt(grads_sq)}
+        return new_state, metrics
+
+    n = train_cfg.steps_per_call
+    if n > 1:
+        inner = step
+
+        def step(state, stacked):
+            state, metrics = jax.lax.scan(inner, state, stacked)
+            return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    if not jit:
+        return step
+    donate = (0,) if train_cfg.donate_state else ()
+    return jax.jit(step, donate_argnums=donate)

@@ -132,6 +132,12 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         # step below.
         return sparse.make_sparse_train_step(model_cfg, train_cfg,
                                              noise=noise, jit=jit)
+    from sert_tpu.train import fused
+    if loss_fn is None and fused.fused_enabled(model_cfg, train_cfg):
+        # Dense-softmax models: optimizer applied inside the backward
+        # kernel's dW revisit (train/fused.py). The optax state layout is
+        # unchanged, so checkpoints interoperate with the dense step.
+        return fused.make_fused_train_step(model_cfg, train_cfg, jit=jit)
     opt = make_optimizer(train_cfg)
     if loss_fn is None:
         loss_fn = api.loss_fn

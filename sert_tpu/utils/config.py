@@ -121,6 +121,13 @@ class TrainConfig:
     # decay + single device); adagrad/sgd are bit-identical to dense,
     # adam differs only in untouched rows' momentum tail (LazyAdam).
     sparse_update: str = "auto"     # "auto" | "on" | "off"
+    # Optimizer update fused into the dense-softmax backward kernel
+    # (train/fused.py): for loglinear / lse_full with adam/adagrad/sgd the
+    # [d, E] matrix's dW never reaches HBM — 10 matrix passes/step become
+    # 7. "auto" enables it exactly when semantics match the dense step
+    # (no clipping/decay, single device); the optax state layout is
+    # UNCHANGED, so checkpoints interoperate with fused_update on or off.
+    fused_update: str = "auto"      # "auto" | "on" | "off"
 
 
 @dataclass(frozen=True)

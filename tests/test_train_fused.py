@@ -1,0 +1,179 @@
+"""Optimizer-in-backward fused step vs the dense step (train/fused.py).
+
+Parity contract (module docstring there): the fused step replicates optax
+adam/adagrad/sgd exactly — sgd and adagrad match the dense path to float
+reassociation (observed ~1e-8), adam through the bias-correction powers
+(~1e-5 over several steps) — and the optax state layout is UNCHANGED, so
+checkpoints interoperate with fused_update flipped between runs.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sert_tpu.train.fused import fused_applicable, fused_enabled
+from sert_tpu.train.step import init_state, make_train_step
+from sert_tpu.utils.config import ModelConfig, TrainConfig
+
+V, E, D, B, W = 300, 1000, 128, 256, 5
+
+
+def _mcfg(model="loglinear", **kw):
+    if model == "loglinear":
+        return ModelConfig(model=model, vocab_size=V, num_entities=E,
+                           word_dim=D, fused_softmax="on", **kw)
+    return ModelConfig(model="lse_full", vocab_size=V, num_entities=E,
+                       word_dim=D, entity_dim=D, fused_softmax="on", **kw)
+
+
+def _tcfg(**kw):
+    kw.setdefault("batch_size", B)
+    kw.setdefault("donate_state", False)
+    kw.setdefault("learning_rate", 0.05)
+    return TrainConfig(**kw)
+
+
+def _batches(n, batch=B, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        out.append({
+            "windows": rng.integers(0, V, size=(batch, W)).astype(np.int32),
+            "lengths": rng.integers(1, W + 1, size=batch).astype(np.int32),
+            "entities": rng.integers(0, E, size=batch).astype(np.int32)})
+    return out
+
+
+def _run(mcfg, tcfg, n_steps, seed_key=0, batch=B):
+    state = init_state(jax.random.key(seed_key), mcfg, tcfg)
+    step = make_train_step(mcfg, tcfg)
+    metrics = None
+    bs = _batches(n_steps, batch=batch)
+    if tcfg.steps_per_call > 1:
+        k = tcfg.steps_per_call
+        for i in range(0, n_steps, k):
+            stacked = {key: jnp.stack([jnp.asarray(b[key])
+                                       for b in bs[i:i + k]])
+                       for key in bs[0]}
+            state, metrics = step(state, stacked)
+        return state, metrics
+    for b in bs:
+        state, metrics = step(state, {k: jnp.asarray(v)
+                                      for k, v in b.items()})
+    return state, metrics
+
+
+class TestGating:
+    def test_auto_requires_applicable_and_fused_softmax(self):
+        assert fused_applicable(_mcfg(), _tcfg())
+        assert fused_applicable(_mcfg("lse_full"), _tcfg())
+        assert not fused_applicable(_mcfg(), _tcfg(optimizer="adafactor"))
+        assert not fused_applicable(_mcfg(), _tcfg(weight_decay=0.01))
+        assert not fused_applicable(_mcfg(), _tcfg(grad_clip_norm=1.0))
+        assert not fused_applicable(_mcfg(), _tcfg(mesh_shape=(2, 4)))
+        assert not fused_applicable(
+            ModelConfig(model="loglinear", vocab_size=V, num_entities=E,
+                        word_dim=120), _tcfg())          # d % 128 != 0
+        assert not fused_applicable(_mcfg(), _tcfg(batch_size=1 << 15))
+        assert not fused_applicable(
+            ModelConfig(model="lse", vocab_size=V, num_entities=E,
+                        word_dim=D, entity_dim=D), _tcfg())
+
+    def test_on_rejects_inapplicable(self):
+        with pytest.raises(ValueError, match="fused_update"):
+            fused_enabled(_mcfg(), _tcfg(optimizer="adafactor",
+                                         fused_update="on"))
+
+    def test_off_is_off(self):
+        assert not fused_enabled(_mcfg(), _tcfg(fused_update="off"))
+
+
+class TestParity:
+    # adam tolerance: the dense comparison runs the same kernels at a
+    # different tile width (te 4096 vs 512), so the lse partial maxes
+    # reassociate; adam amplifies that near v~0 into ~1e-4 absolute wobbles
+    # on a handful of elements (observed 3/128000 at 1.2e-4).
+    @pytest.mark.parametrize("optn,tol", [("adam", 3e-4),
+                                          ("adagrad", 1e-6),
+                                          ("sgd", 0.0)])
+    def test_matches_dense_step_loglinear(self, optn, tol):
+        mcfg = _mcfg()
+        s0, m0 = _run(mcfg, _tcfg(optimizer=optn, fused_update="off"), 4)
+        s1, m1 = _run(mcfg, _tcfg(optimizer=optn, fused_update="on"), 4)
+        for k in s0.params:
+            np.testing.assert_allclose(np.asarray(s0.params[k]),
+                                       np.asarray(s1.params[k]),
+                                       rtol=tol, atol=tol, err_msg=k)
+        np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(m0["grad_norm"]),
+                                   float(m1["grad_norm"]), rtol=1e-4)
+
+    def test_matches_dense_step_lse_full(self):
+        mcfg = _mcfg("lse_full")
+        s0, m0 = _run(mcfg, _tcfg(fused_update="off"), 3)
+        s1, m1 = _run(mcfg, _tcfg(fused_update="on"), 3)
+        for k in s0.params:
+            np.testing.assert_allclose(np.asarray(s0.params[k]),
+                                       np.asarray(s1.params[k]),
+                                       rtol=3e-4, atol=3e-4, err_msg=k)
+        np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                                   rtol=1e-5)
+
+    def test_padded_batch_rows(self):
+        """B not a multiple of the kernel's 256-row tile: padded rows must
+        contribute nothing (lse poisoning + label masking)."""
+        mcfg = _mcfg()
+        s0, _ = _run(mcfg, _tcfg(batch_size=100, fused_update="off"), 3,
+                     batch=100)
+        s1, _ = _run(mcfg, _tcfg(batch_size=100, fused_update="on"), 3,
+                     batch=100)
+        for k in s0.params:
+            np.testing.assert_allclose(np.asarray(s0.params[k]),
+                                       np.asarray(s1.params[k]),
+                                       rtol=3e-4, atol=3e-4, err_msg=k)
+
+    def test_steps_per_call_scan(self):
+        mcfg = _mcfg()
+        s0, _ = _run(mcfg, _tcfg(fused_update="on"), 4)
+        s1, _ = _run(mcfg, _tcfg(fused_update="on", steps_per_call=2), 4)
+        for k in s0.params:
+            np.testing.assert_allclose(np.asarray(s0.params[k]),
+                                       np.asarray(s1.params[k]),
+                                       rtol=1e-6, atol=1e-6, err_msg=k)
+
+    def test_opt_state_count_advances(self):
+        mcfg = _mcfg()
+        s1, _ = _run(mcfg, _tcfg(fused_update="on"), 3)
+        assert int(s1.opt_state[0].count) == 3
+        assert int(s1.step) == 3
+
+
+class TestCheckpointInterop:
+    def test_state_layout_identical_and_resumable_across_modes(self,
+                                                               tmp_path):
+        """fused_update on/off produce the SAME opt_state pytree, so a
+        checkpoint from one resumes under the other (no flavor logic)."""
+        from sert_tpu.train import checkpoint as ckpt
+        mcfg = _mcfg()
+        tc_on = _tcfg(fused_update="on")
+        tc_off = _tcfg(fused_update="off")
+        assert (jax.tree_util.tree_structure(
+                    init_state(jax.random.key(0), mcfg, tc_on))
+                == jax.tree_util.tree_structure(
+                    init_state(jax.random.key(0), mcfg, tc_off)))
+        state, _ = _run(mcfg, tc_on, 2)
+        path = ckpt.save_checkpoint(str(tmp_path), 2, state)
+        assert not ckpt.has_sparse_opt_state(path)
+        template = jax.eval_shape(
+            lambda: init_state(jax.random.key(0), mcfg, tc_off))
+        restored, _ = ckpt.load_checkpoint(path, template)
+        step_off = make_train_step(mcfg, tc_off)
+        b = _batches(1, seed=7)[0]
+        new_state, m = step_off(restored, {k: jnp.asarray(v)
+                                           for k, v in b.items()})
+        assert np.isfinite(float(m["loss"]))
+        assert int(new_state.opt_state[0].count) == 3

@@ -98,17 +98,22 @@ def _p_tile(p_ref, w_ref, b_ref, lse_ref, lab_ref, j, *, te, e_total,
 
 
 def _bwd_kernel(p_ref, w_ref, b_ref, lse_ref, lab_ref,
-                dw_ref, db_ref, dpp_ref, *, te, e_total, layout, ct):
+                dw_ref, db_ref, dpp_ref, *, te, e_total, layout, ct,
+                accum_dpool=False, tb=0):
     """One fused backward sweep, grid (j, i) with i (batch) innermost.
 
     Computes the p = softmax - onehot tile ONCE and feeds all three grads:
       dW  [per-j block]: accumulated in VMEM across the inner i revisits,
       db  [per-j block]: same accumulation,
-      dpooled: written as PER-TILE PARTIALS dpp[j, i-block] = p @ W_j^T and
-               reduced over j by one XLA sum afterwards — a [nE, Bp, d]
-               HBM transient is ~3x cheaper than a second full kernel sweep
-               recomputing z/exp just to revisit dpooled blocks (the round-1
-               two-kernel design; see benchmarks/NOTES.md round-2 row).
+      dpooled: with ``accum_dpool`` the whole [Bp, dp] result lives in ONE
+               VMEM-resident output block (constant index map) and row
+               stripes accumulate across j — no HBM transient at all.
+               When Bp*dp exceeds the VMEM budget, falls back to PER-TILE
+               PARTIALS dpp[j, i-block] = p @ W_j^T reduced over j by one
+               XLA sum afterwards — a [nE, Bp, d] HBM transient that is
+               still ~3x cheaper than a second full kernel sweep
+               recomputing z/exp (the round-1 two-kernel design; see
+               benchmarks/NOTES.md round-2 row).
     """
     j, i = pl.program_id(0), pl.program_id(1)
     p = _p_tile(p_ref, w_ref, b_ref, lse_ref, lab_ref, j, te=te,
@@ -132,7 +137,18 @@ def _bwd_kernel(p_ref, w_ref, b_ref, lse_ref, lab_ref,
         dw = jnp.dot(pc.T, pooled, preferred_element_type=jnp.float32)
         dpp = jnp.dot(pc, w, preferred_element_type=jnp.float32)
     db = jnp.sum(p, axis=0)[None, :]
-    dpp_ref[0] = dpp
+    if accum_dpool:
+        rows = pl.ds(i * tb, tb)
+
+        @pl.when(j == 0)
+        def _():
+            dpp_ref[rows, :] = dpp
+
+        @pl.when(j > 0)
+        def _():
+            dpp_ref[rows, :] += dpp
+    else:
+        dpp_ref[0] = dpp
 
     @pl.when(i == 0)
     def _():
@@ -275,23 +291,34 @@ def _bwd_calls(pooled_p, W_k, b_p, lse_m, lab_m, tb, te, layout, interpret,
     dw_block = ((dp, te) if layout == "de" else (te, dp))
     dw_idx = ((lambda j, i: (0, j)) if layout == "de"
               else (lambda j, i: (j, 0)))
+    # dpooled: VMEM-resident accumulation when [Bp, dp] fits the budget
+    # (saves the [nE, Bp, dp] HBM transient + its XLA reduction read);
+    # the transient fallback keeps huge batches working.
+    accum = Bp * dp * 4 <= (4 << 20)
+    if accum:
+        dpp_spec = pl.BlockSpec((Bp, dp), lambda j, i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        dpp_shape = jax.ShapeDtypeStruct((Bp, dp), jnp.float32)
+    else:
+        dpp_spec = pl.BlockSpec((1, tb, dp), lambda j, i: (j, i, 0),
+                                memory_space=pltpu.VMEM)
+        dpp_shape = jax.ShapeDtypeStruct((nE, Bp, dp), jnp.float32)
     dW, db, dpp = pl.pallas_call(
         functools.partial(_bwd_kernel, te=te, e_total=e_total, layout=layout,
-                          ct=ct),
+                          ct=ct, accum_dpool=accum, tb=tb),
         grid=(nE, nB),
         in_specs=[p_spec_ji, w_spec(w_idx_ji), b_spec(lambda j, i: (0, j)),
                   row_spec(), row_spec()],
         out_specs=[pl.BlockSpec(dw_block, dw_idx, memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, te), lambda j, i: (0, j),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, tb, dp), lambda j, i: (j, i, 0),
-                                memory_space=pltpu.VMEM)],
+                   dpp_spec],
         out_shape=[jax.ShapeDtypeStruct(dw_shape, jnp.float32),
                    jax.ShapeDtypeStruct((1, Ep), jnp.float32),
-                   jax.ShapeDtypeStruct((nE, Bp, dp), jnp.float32)],
+                   dpp_shape],
         interpret=interpret,
     )(pooled_p, W_k, b_p, lse_m, lab_m)
-    dpooled = jnp.sum(dpp, axis=0)                      # [Bp, dp], one pass
+    dpooled = dpp if accum else jnp.sum(dpp, axis=0)    # [Bp, dp]
     return dW, db, dpooled
 
 

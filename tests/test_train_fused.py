@@ -177,3 +177,47 @@ class TestCheckpointInterop:
                                            for k, v in b.items()})
         assert np.isfinite(float(m["loss"]))
         assert int(new_state.opt_state[0].count) == 3
+
+
+class TestBf16Params:
+    def test_bf16_one_step_parity_with_dense(self):
+        """bf16 master weights, ONE step: the kernel casts tiles f32 for
+        the update and stores back in the param dtype exactly like optax —
+        mu/nu agree to the te-reassociation floor (~5e-7: the dense
+        comparison runs the same kernels at tile width 4096 vs 512, so the
+        lse partials reorder) and W within bf16 rounding.
+
+        Multi-step elementwise parity is NOT a valid contract in bf16:
+        after step 1 the two paths' W differ by storage rounding (~5e-4),
+        and on near-zero-gradient elements adam's m_hat/sqrt(v_hat) is a
+        ratio of two near-zero quantities — step 2 chaotically amplifies
+        the rounding into O(lr) differences on isolated elements
+        (measured: 641/128000 W elements past 1e-3 at step 2 while mu/nu
+        agree to ~5e-7). The same happens between any two bf16 runs that
+        reassociate differently; the meaningful multi-step contract is the
+        loss trajectory, below."""
+        mcfg = _mcfg(param_dtype="bfloat16", compute_dtype="bfloat16")
+        s0, _ = _run(mcfg, _tcfg(fused_update="off"), 1)
+        s1, _ = _run(mcfg, _tcfg(fused_update="on"), 1)
+        for k in s0.params:
+            # atol: one bf16 ulp at |param| ~ 0.5 (dpooled reassociation
+            # can flip a rounding boundary on isolated elements).
+            np.testing.assert_allclose(np.asarray(s0.params[k], np.float32),
+                                       np.asarray(s1.params[k], np.float32),
+                                       atol=2e-3, err_msg=k)
+        for tree in ("mu", "nu"):
+            for k, a in getattr(s0.opt_state[0], tree).items():
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float32),
+                    np.asarray(getattr(s1.opt_state[0], tree)[k],
+                               np.float32),
+                    atol=1e-5, err_msg=f"{tree}/{k}")
+        assert s1.params["proj_w"].dtype == jnp.bfloat16
+        assert s1.opt_state[0].mu["proj_w"].dtype == jnp.bfloat16
+
+    def test_bf16_multistep_loss_trajectory_matches(self):
+        mcfg = _mcfg(param_dtype="bfloat16", compute_dtype="bfloat16")
+        _, m0 = _run(mcfg, _tcfg(fused_update="off"), 6)
+        _, m1 = _run(mcfg, _tcfg(fused_update="on"), 6)
+        np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                                   rtol=5e-3)

@@ -56,6 +56,46 @@ def _ct(dtype: str):
     return jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
 
 
+# Batch-row tile used by every kernel in this module, and the per-core VMEM
+# working-set plan the accumulator/tile-width choices are budgeted against.
+# One definition: train/fused.py's applicability gate imports these instead
+# of keeping copies (the gate and the kernel must agree or a config could
+# pass the gate and fail Mosaic allocation).
+FUSED_TB = 256
+_VMEM_PLAN_BYTES = 14 << 20
+
+
+def _accum_dpool_ok(Bp: int, dp: int, te: int) -> bool:
+    """Can the plain backward hold dpooled [Bp, dp] in VMEM? Budgets the
+    WHOLE working set — W in + dW out (double-buffered) + p stripes + the
+    accumulator — not just the accumulator, so configs that compiled with
+    the HBM-transient layout keep compiling (the transient path's own
+    envelope is the proven baseline; this only opts in when strictly
+    within plan)."""
+    streams = 2 * 2 * dp * te * 4            # W in + dW out, 2x buffered
+    stripes = 2 * 2 * FUSED_TB * dp * 4      # p in + dpp-fallback-sized
+    return streams + stripes + Bp * dp * 4 <= _VMEM_PLAN_BYTES
+
+
+def fused_update_te(opt: str, dp: int, Bp: int):
+    """Largest tile width (multiple of 128, capped by _FUSED_TE) whose
+    optimizer-fused backward working set — streamed W/state blocks in+out
+    (double-buffered), the dW scratch, the [Bp, dp] dpooled accumulator,
+    and the p stripes — fits the VMEM plan; None when even 128 does not
+    (the config is then inapplicable, see train/fused.py)."""
+    n_mat = {"adam": 3, "adagrad": 2, "sgd": 1}[opt]   # W + state slots
+    te = _FUSED_TE[opt]
+    while te >= 128:
+        streams = 2 * n_mat * 2 * dp * te * 4          # in+out, 2x buffered
+        total = (streams + dp * te * 4                 # dW scratch
+                 + Bp * dp * 4                         # dpooled accumulator
+                 + 2 * FUSED_TB * dp * 4)              # p stripes
+        if total <= _VMEM_PLAN_BYTES:
+            return te
+        te //= 2
+    return None
+
+
 def _z_tile(p_ref, w_ref, b_ref, j, *, te, e_total, layout, ct):
     """One logits tile [tb, te] in fp32 from VMEM operands, with columns
     beyond ``e_total`` (entity padding / OOB tail reads) forced to -1e30 so
@@ -97,6 +137,49 @@ def _p_tile(p_ref, w_ref, b_ref, lse_ref, lab_ref, j, *, te, e_total,
     return prob - onehot
 
 
+def _tile_grads(p_ref, w_ref, b_ref, lse_ref, lab_ref, j, *, te, e_total,
+                layout, ct):
+    """(dw, dpp, db, wmask) for one (j, i) grid tile — the gradient math
+    shared by the plain and optimizer-fused backward kernels."""
+    p = _p_tile(p_ref, w_ref, b_ref, lse_ref, lab_ref, j, te=te,
+                e_total=e_total, layout=layout, ct=ct)
+    pooled = p_ref[:]
+    w = w_ref[:].astype(ct)
+    # The dpp dot CONTRACTS over the entity axis, so the OOB tail tile's
+    # unspecified W contents must be zeroed (0 * NaN = NaN would leak into
+    # dpooled; dW/db are safe — p is exactly 0 on invalid columns and they
+    # contract over rows). One VPU select per tile, negligible.
+    eaxis = 1 if layout == "de" else 0
+    ecols = j * te + jax.lax.broadcasted_iota(jnp.int32, w.shape, eaxis)
+    wmask = ecols < e_total
+    wz = jnp.where(wmask, w, jnp.zeros((), ct))
+    # p is fp32 from exp(); cast to the compute dtype so the dots hit the
+    # MXU at full rate (fp32 accumulation via preferred type).
+    pc = p.astype(ct)
+    if layout == "de":
+        dw = jnp.dot(pooled.T, pc, preferred_element_type=jnp.float32)
+        dpp = jnp.dot(pc, wz.T, preferred_element_type=jnp.float32)
+    else:
+        dw = jnp.dot(pc.T, pooled, preferred_element_type=jnp.float32)
+        dpp = jnp.dot(pc, wz, preferred_element_type=jnp.float32)
+    db = jnp.sum(p, axis=0)[None, :]
+    return dw, dpp, db, wmask
+
+
+def _accum_dpool_stripe(dp_ref, dpp, j, i, tb):
+    """Accumulate one [tb, dp] dpooled stripe into the VMEM-resident
+    [Bp, dp] output block (constant index map; flushed once at the end)."""
+    rows = pl.ds(i * tb, tb)
+
+    @pl.when(j == 0)
+    def _():
+        dp_ref[rows, :] = dpp
+
+    @pl.when(j > 0)
+    def _():
+        dp_ref[rows, :] += dpp
+
+
 def _bwd_kernel(p_ref, w_ref, b_ref, lse_ref, lab_ref,
                 dw_ref, db_ref, dpp_ref, *, te, e_total, layout, ct,
                 accum_dpool=False, tb=0):
@@ -108,45 +191,19 @@ def _bwd_kernel(p_ref, w_ref, b_ref, lse_ref, lab_ref,
       dpooled: with ``accum_dpool`` the whole [Bp, dp] result lives in ONE
                VMEM-resident output block (constant index map) and row
                stripes accumulate across j — no HBM transient at all.
-               When Bp*dp exceeds the VMEM budget, falls back to PER-TILE
-               PARTIALS dpp[j, i-block] = p @ W_j^T reduced over j by one
-               XLA sum afterwards — a [nE, Bp, d] HBM transient that is
-               still ~3x cheaper than a second full kernel sweep
+               When the working set exceeds the VMEM plan, falls back to
+               PER-TILE PARTIALS dpp[j, i-block] = p @ W_j^T reduced over
+               j by one XLA sum afterwards — a [nE, Bp, d] HBM transient
+               that is still ~3x cheaper than a second full kernel sweep
                recomputing z/exp (the round-1 two-kernel design; see
                benchmarks/NOTES.md round-2 row).
     """
     j, i = pl.program_id(0), pl.program_id(1)
-    p = _p_tile(p_ref, w_ref, b_ref, lse_ref, lab_ref, j, te=te,
-                e_total=e_total, layout=layout, ct=ct)
-    pooled = p_ref[:]
-    w = w_ref[:].astype(ct)
-    # The dpp dot CONTRACTS over the entity axis, so the OOB tail tile's
-    # unspecified W contents must be zeroed (0 * NaN = NaN would leak into
-    # dpooled; dW/db are safe — p is exactly 0 on invalid columns and they
-    # contract over rows). One VPU select per tile, negligible.
-    eaxis = 1 if layout == "de" else 0
-    ecols = j * te + jax.lax.broadcasted_iota(jnp.int32, w.shape, eaxis)
-    w = jnp.where(ecols < e_total, w, jnp.zeros((), ct))
-    # p is fp32 from exp(); cast to the compute dtype so the dots hit the
-    # MXU at full rate (fp32 accumulation via preferred type).
-    pc = p.astype(ct)
-    if layout == "de":
-        dw = jnp.dot(pooled.T, pc, preferred_element_type=jnp.float32)
-        dpp = jnp.dot(pc, w.T, preferred_element_type=jnp.float32)
-    else:
-        dw = jnp.dot(pc.T, pooled, preferred_element_type=jnp.float32)
-        dpp = jnp.dot(pc, w, preferred_element_type=jnp.float32)
-    db = jnp.sum(p, axis=0)[None, :]
+    dw, dpp, db, _ = _tile_grads(p_ref, w_ref, b_ref, lse_ref, lab_ref, j,
+                                 te=te, e_total=e_total, layout=layout,
+                                 ct=ct)
     if accum_dpool:
-        rows = pl.ds(i * tb, tb)
-
-        @pl.when(j == 0)
-        def _():
-            dpp_ref[rows, :] = dpp
-
-        @pl.when(j > 0)
-        def _():
-            dpp_ref[rows, :] += dpp
+        _accum_dpool_stripe(dpp_ref, dpp, j, i, tb)
     else:
         dpp_ref[0] = dpp
 
@@ -291,10 +348,10 @@ def _bwd_calls(pooled_p, W_k, b_p, lse_m, lab_m, tb, te, layout, interpret,
     dw_block = ((dp, te) if layout == "de" else (te, dp))
     dw_idx = ((lambda j, i: (0, j)) if layout == "de"
               else (lambda j, i: (j, 0)))
-    # dpooled: VMEM-resident accumulation when [Bp, dp] fits the budget
-    # (saves the [nE, Bp, dp] HBM transient + its XLA reduction read);
-    # the transient fallback keeps huge batches working.
-    accum = Bp * dp * 4 <= (4 << 20)
+    # dpooled: VMEM-resident accumulation when the WHOLE working set fits
+    # the plan (saves the [nE, Bp, dp] HBM transient + its XLA reduction
+    # read); the transient fallback keeps the proven envelope otherwise.
+    accum = _accum_dpool_ok(Bp, dp, te)
     if accum:
         dpp_spec = pl.BlockSpec((Bp, dp), lambda j, i: (0, 0),
                                 memory_space=pltpu.VMEM)
@@ -379,37 +436,10 @@ def _bwd_update_kernel(*refs, te, e_total, layout, ct, opt, lr, b1, b2,
         (p_ref, w_ref, b_ref, lse_ref, lab_ref,
          wout_ref, db_ref, dp_ref, gsq_ref, dw_scr) = refs
     j, i = pl.program_id(0), pl.program_id(1)
-    p = _p_tile(p_ref, w_ref, b_ref, lse_ref, lab_ref, j, te=te,
-                e_total=e_total, layout=layout, ct=ct)
-    pooled = p_ref[:]
-    w = w_ref[:].astype(ct)
-    # Entity-validity mask in the W tile's own layout (see _bwd_kernel: the
-    # OOB tail tile's unspecified contents must not leak into dpooled, and
-    # here additionally not into the gradient/norm/update math).
-    eaxis = 1 if layout == "de" else 0
-    ecols = j * te + jax.lax.broadcasted_iota(jnp.int32, w.shape, eaxis)
-    wmask = ecols < e_total
-    wz = jnp.where(wmask, w, jnp.zeros((), ct))
-    pc = p.astype(ct)
-    if layout == "de":
-        dw = jnp.dot(pooled.T, pc, preferred_element_type=jnp.float32)
-        dpp = jnp.dot(pc, wz.T, preferred_element_type=jnp.float32)
-    else:
-        dw = jnp.dot(pc.T, pooled, preferred_element_type=jnp.float32)
-        dpp = jnp.dot(pc, wz, preferred_element_type=jnp.float32)
-    db = jnp.sum(p, axis=0)[None, :]
-
-    # dpooled: accumulate into the ONE [Bp, dp] output block (constant
-    # index map keeps it VMEM-resident for the whole sweep; flushed once).
-    rows = pl.ds(i * tb, tb)
-
-    @pl.when(j == 0)
-    def _():
-        dp_ref[rows, :] = dpp
-
-    @pl.when(j > 0)
-    def _():
-        dp_ref[rows, :] += dpp
+    dw, dpp, db, wmask = _tile_grads(p_ref, w_ref, b_ref, lse_ref, lab_ref,
+                                     j, te=te, e_total=e_total,
+                                     layout=layout, ct=ct)
+    _accum_dpool_stripe(dp_ref, dpp, j, i, tb)
 
     @pl.when(i == 0)
     def _():
@@ -553,9 +583,16 @@ def xent_loss_apply(pooled, W, b, labels, *, opt, opt_tree, lr, count,
     """
     if interpret is None:
         interpret = _interpret_default()
-    if te is None:
-        te = _FUSED_TE[opt]
     ct = _ct(dtype)
+    if te is None:
+        Bp_plan = -(-pooled.shape[0] // tb) * tb
+        dp_plan = max(-(-pooled.shape[1] // LANES) * LANES, LANES)
+        te = fused_update_te(opt, dp_plan, Bp_plan)
+        if te is None:
+            raise ValueError(
+                f"fused update working set does not fit the VMEM plan at "
+                f"d={pooled.shape[1]}, B={pooled.shape[0]} for {opt}; "
+                "disable fused_update for this config")
     loss, residuals = _xent_fwd(pooled, W, b, labels, layout, tb, te,
                                 interpret, dtype)
     pooled_p, W_k, b_p, labels_p, lse, B, E, d_orig = residuals

@@ -35,16 +35,16 @@ import optax
 from sert_tpu.models.common import compute_dtype, masked_mean_embed
 from sert_tpu.utils.config import ModelConfig, TrainConfig
 
-# The kernel accumulates dpooled in one VMEM-resident [Bp, dp] block.
-_DPOOL_VMEM_BYTES = 4 << 20
-
 
 def fused_applicable(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
     """True when the fused-update step exists AND matches the dense step's
-    semantics exactly (see module docstring)."""
+    semantics exactly (see module docstring). Geometry (tile sizes, VMEM
+    plan) comes from ops/xent.py's own constants, so the gate and the
+    kernel cannot drift apart."""
+    from sert_tpu.ops.xent import FUSED_TB, fused_update_te
     d = (model_cfg.word_dim if model_cfg.model == "loglinear"
          else model_cfg.entity_dim)
-    bp = -(-train_cfg.batch_size // 256) * 256
+    bp = -(-train_cfg.batch_size // FUSED_TB) * FUSED_TB
     return (
         model_cfg.model in ("loglinear", "lse_full")
         and train_cfg.optimizer in ("adam", "adagrad", "sgd")
@@ -52,7 +52,7 @@ def fused_applicable(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
         and train_cfg.grad_clip_norm == 0.0
         and tuple(train_cfg.mesh_shape) == (1, 1)
         and d % 128 == 0
-        and bp * max(d, 128) * 4 <= _DPOOL_VMEM_BYTES
+        and fused_update_te(train_cfg.optimizer, d, bp) is not None
     )
 
 
@@ -85,33 +85,14 @@ def fused_enabled(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# optax-equivalent XLA updates for the small leaves + state surgery
-
-
-def _leaf_update(optimizer: str, p, g, st: Dict, lr: float, t):
-    """One optimizer step for a non-matrix leaf; mirrors optax exactly
-    (same contracts as train/sparse._row_update, full-tensor form).
-    Returns (p_new, st_new) with st keyed like _opt_tree_of."""
-    g = g.astype(jnp.float32)
-    if optimizer == "sgd":
-        return (p - lr * g).astype(p.dtype), {}
-    if optimizer == "adagrad":
-        acc = st["acc"].astype(jnp.float32) + jnp.square(g)
-        inv = jnp.where(acc > 0, jax.lax.rsqrt(acc + 1e-7), 0.0)
-        return ((p - lr * g * inv).astype(p.dtype),
-                {"acc": acc.astype(st["acc"].dtype)})
-    b1, b2, eps = 0.9, 0.999, 1e-8
-    tf = t.astype(jnp.float32)
-    m = b1 * st["m"].astype(jnp.float32) + (1.0 - b1) * g
-    v = b2 * st["v"].astype(jnp.float32) + (1.0 - b2) * jnp.square(g)
-    m_hat = m / (1.0 - jnp.power(b1, tf))
-    v_hat = v / (1.0 - jnp.power(b2, tf))
-    return ((p - lr * m_hat / (jnp.sqrt(v_hat) + eps)).astype(p.dtype),
-            {"m": m.astype(st["m"].dtype), "v": v.astype(st["v"].dtype)})
+# Small-leaf updates: STOCK optax on a sliced state (exact-by-construction
+# vs the dense step — no third copy of the optimizer arithmetic; the one
+# unavoidable replication is inside the kernel itself) + state surgery.
 
 
 def _opt_tree_of(optimizer: str, opt_state, key: str) -> Dict:
-    """Extract {m,v}/{acc}/{} for one param leaf from the optax state."""
+    """Extract {m,v}/{acc}/{} for one param leaf from the optax state
+    (the kernel's view of the matrix leaf's slots)."""
     inner = opt_state[0]
     if optimizer == "adam":
         return {"m": inner.mu[key], "v": inner.nu[key]}
@@ -132,22 +113,38 @@ def _check_state_shape(optimizer: str, opt_state) -> None:
                 "adam/adagrad/sgd layout — set fused_update='off'")
 
 
-def _rebuild_state(optimizer: str, opt_state, new_trees: Dict[str, Dict]):
-    """Splice per-leaf updated slots back into the optax state tuple."""
+def _slice_state(optimizer: str, opt_state, keys):
+    """The optax state restricted to the given param leaves (count and any
+    trailing chain states shared)."""
     inner = opt_state[0]
+    if optimizer == "adam":
+        inner = inner._replace(mu={k: inner.mu[k] for k in keys},
+                               nu={k: inner.nu[k] for k in keys})
+    elif optimizer == "adagrad":
+        inner = inner._replace(
+            sum_of_squares={k: inner.sum_of_squares[k] for k in keys})
+    return (inner,) + tuple(opt_state[1:])
+
+
+def _merge_state(optimizer: str, opt_state, sub_state,
+                 mat_key: str, mat_tree: Dict):
+    """Recombine the sliced optax state (small leaves, updated by the
+    stock transform) with the kernel-updated matrix slots."""
+    inner, sub = opt_state[0], sub_state[0]
     if optimizer == "sgd":
         return opt_state
     if optimizer == "adagrad":
         sos = dict(inner.sum_of_squares)
-        for k, st in new_trees.items():
-            sos[k] = st["acc"]
-        return (inner._replace(sum_of_squares=sos),) + tuple(opt_state[1:])
+        sos.update(sub.sum_of_squares)
+        sos[mat_key] = mat_tree["acc"]
+        return (inner._replace(sum_of_squares=sos),) + tuple(sub_state[1:])
     mu, nu = dict(inner.mu), dict(inner.nu)
-    for k, st in new_trees.items():
-        mu[k] = st["m"]
-        nu[k] = st["v"]
-    return (inner._replace(count=inner.count + 1, mu=mu, nu=nu),
-            ) + tuple(opt_state[1:])
+    mu.update(sub.mu)
+    nu.update(sub.nu)
+    mu[mat_key] = mat_tree["m"]
+    nu[mat_key] = mat_tree["v"]
+    return (inner._replace(count=sub.count, mu=mu, nu=nu),
+            ) + tuple(sub_state[1:])
 
 
 # ---------------------------------------------------------------------------
@@ -160,13 +157,14 @@ def make_fused_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
     """Build the fused-update train step (same contract as
     train.step.make_train_step, including steps_per_call scanning)."""
     from sert_tpu.ops.xent import xent_loss_apply
-    from sert_tpu.train.step import TrainState
+    from sert_tpu.train.step import TrainState, make_optimizer
 
     if not fused_applicable(model_cfg, train_cfg):
         raise ValueError("fused step built for an inapplicable config; "
                          "see fused_applicable")
     del noise  # full softmax: no sampling
     cfg, opt_name, lr = model_cfg, train_cfg.optimizer, train_cfg.learning_rate
+    opt = make_optimizer(train_cfg)      # the stock transform (small leaves)
     loglin = cfg.model == "loglinear"
     mat_key = "proj_w" if loglin else "entity_emb"
     layout = "de" if loglin else "ed"
@@ -179,7 +177,6 @@ def make_fused_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         _check_state_shape(opt_name, opt_state)
         count = (opt_state[0].count if opt_name == "adam"
                  else state.step)
-        t_new = count + 1
         B = batch["windows"].shape[0]
 
         if loglin:
@@ -209,9 +206,6 @@ def make_fused_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
             dtype=cfg.compute_dtype)
         head_grads = head_vjp(dpooled)
 
-        new_params = dict(params)
-        new_params[mat_key] = W_new
-        new_trees = {mat_key: st_new}
         if loglin:
             # db IS the proj_b gradient here; for lse_full the kernel bias
             # is a constant zero vector, not a parameter — db is discarded.
@@ -219,20 +213,22 @@ def make_fused_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         else:
             leaf_grads = dict(zip(("word_emb", "proj_w", "proj_b"),
                                   head_grads))
-        grads_sq = gsq
-        for name in leaf_grads:
-            g = leaf_grads[name]
-            p_new, st = _leaf_update(
-                opt_name, params[name], g,
-                _opt_tree_of(opt_name, opt_state, name), lr, t_new)
-            new_params[name] = p_new
-            new_trees[name] = st
-            grads_sq = grads_sq + jnp.sum(
-                jnp.square(g.astype(jnp.float32)))
+        # Small leaves: the STOCK optax transform on the sliced state —
+        # identical code path to the dense step, so exact by construction.
+        sub_params = {k: params[k] for k in leaf_grads}
+        updates, sub_state = opt.update(
+            leaf_grads, _slice_state(opt_name, opt_state, leaf_grads),
+            sub_params)
+        new_params = dict(params, **optax.apply_updates(sub_params, updates))
+        new_params[mat_key] = W_new
 
+        grads_sq = gsq
+        for g in leaf_grads.values():
+            grads_sq = grads_sq + jnp.sum(jnp.square(g.astype(jnp.float32)))
         new_state = TrainState(
             params=new_params,
-            opt_state=_rebuild_state(opt_name, opt_state, new_trees),
+            opt_state=_merge_state(opt_name, opt_state, sub_state,
+                                   mat_key, st_new),
             step=state.step + 1, rng=rng)
         metrics = {"loss": loss_sum / B, "grad_norm": jnp.sqrt(grads_sq)}
         return new_state, metrics

@@ -221,3 +221,28 @@ class TestBf16Params:
         _, m1 = _run(mcfg, _tcfg(fused_update="on"), 6)
         np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
                                    rtol=5e-3)
+
+
+class TestVmemPlan:
+    def test_accum_gate_counts_whole_working_set(self):
+        """The review scenario: d=256, B=4096 at the default te=4096 holds
+        ~16MB of W/dW blocks alone — the dpooled accumulator must NOT be
+        added on top (the HBM-transient envelope is the proven one)."""
+        from sert_tpu.ops.xent import _accum_dpool_ok
+        assert not _accum_dpool_ok(4096, 256, 4096)
+        assert _accum_dpool_ok(1024, 128, 4096)      # the common config
+
+    def test_fused_te_shrinks_with_dim_and_batch(self):
+        from sert_tpu.ops.xent import fused_update_te
+        assert fused_update_te("adam", 256, 1024) == 512
+        assert fused_update_te("adam", 512, 1024) <= 256
+        assert fused_update_te("sgd", 128, 1024) == 2048
+        # gigantic accumulator: inapplicable, not a Mosaic crash
+        assert fused_update_te("adam", 1024, 1 << 15) is None
+
+    def test_applicability_rejects_oversized_geometry(self):
+        mcfg = ModelConfig(model="loglinear", vocab_size=V,
+                           num_entities=E, word_dim=1024,
+                           fused_softmax="on")
+        assert not fused_applicable(mcfg, _tcfg(batch_size=1 << 15))
+        assert fused_applicable(mcfg, _tcfg(batch_size=1024))

@@ -246,3 +246,32 @@ class TestVmemPlan:
                            fused_softmax="on")
         assert not fused_applicable(mcfg, _tcfg(batch_size=1 << 15))
         assert fused_applicable(mcfg, _tcfg(batch_size=1024))
+
+
+@pytest.mark.slow
+class TestFuzz:
+    def test_random_geometry_parity(self):
+        """Random (E, B, optimizer) through fused-vs-dense: OOB entity
+        tails at arbitrary E, padded batch rows, every optimizer."""
+        rng = np.random.default_rng(11)
+        for trial in range(5):
+            e = int(rng.integers(300, 3000))
+            b = int(rng.integers(33, 400))
+            optn = ("adam", "adagrad", "sgd")[trial % 3]
+            mcfg = ModelConfig(model="loglinear", vocab_size=V,
+                               num_entities=e, word_dim=D,
+                               fused_softmax="on")
+            s0, m0 = _run(mcfg, _tcfg(optimizer=optn, batch_size=b,
+                                      fused_update="off"), 2, batch=b)
+            s1, m1 = _run(mcfg, _tcfg(optimizer=optn, batch_size=b,
+                                      fused_update="on"), 2, batch=b)
+            # adam amplifies te-reassociation on near-zero-v elements
+            # (see TestParity's tolerance note); adagrad/sgd stay tight.
+            tol = {"adam": 2e-3, "adagrad": 1e-6, "sgd": 1e-7}[optn]
+            for k in s0.params:
+                np.testing.assert_allclose(
+                    np.asarray(s0.params[k]), np.asarray(s1.params[k]),
+                    rtol=tol, atol=tol,
+                    err_msg=f"E={e} B={b} {optn} {k}")
+            np.testing.assert_allclose(float(m0["loss"]),
+                                       float(m1["loss"]), rtol=1e-5)

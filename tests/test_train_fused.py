@@ -275,3 +275,28 @@ class TestFuzz:
                     err_msg=f"E={e} B={b} {optn} {k}")
             np.testing.assert_allclose(float(m0["loss"]),
                                        float(m1["loss"]), rtol=1e-5)
+
+
+@pytest.mark.slow
+class TestPipeline:
+    def test_end_to_end_with_fused_update(self, tmp_path):
+        """train -> resume under the other mode -> query -> evaluate at the
+        pipeline surface (the checkpoint-interop contract, end to end)."""
+        from sert_tpu import pipeline, recipes
+
+        recipe = recipes.tiny_recipe("loglinear")
+        recipe = dataclasses.replace(
+            recipe,
+            model=dataclasses.replace(recipe.model, word_dim=128,
+                                      fused_softmax="on"),
+            train=dataclasses.replace(recipe.train, fused_update="on"))
+        col = recipes.tiny_spec(seed=11).build()
+        res = pipeline.run_end_to_end(col, recipe, str(tmp_path))
+        assert res["all"]["ndcg@100"] > 0.9
+        # resume the finished run with fused_update off: same state layout
+        recipe_off = dataclasses.replace(
+            recipe, train=dataclasses.replace(
+                recipe.train, fused_update="off",
+                num_epochs=recipe.train.num_epochs + 1))
+        pipeline.train_from_dir(recipe_off, str(tmp_path / "data"),
+                                str(tmp_path / "run"), resume=True)

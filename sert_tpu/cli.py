@@ -153,8 +153,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     _add_recipe_arg(p)
     p.add_argument("--data", required=True)
     p.add_argument("--run-dir", required=True)
-    p.add_argument("--out", required=True, help="output .npz path")
+    p.add_argument("--out", required=True, help="output .npz path (or the "
+                   "basename for --format word2vec)")
     p.add_argument("--step", type=int, default=None)
+    p.add_argument("--format", choices=("npz", "word2vec"), default="npz",
+                   help="word2vec = gensim-loadable TEXT vectors, two "
+                        "files <out>.words.vec and <out>.entities.vec "
+                        "(spaces in entity names become underscores); "
+                        "npz keeps the full typed export incl. bias")
 
     p = sub.add_parser("serve", help="interactive/streaming query serving: "
                                      "read queries from stdin (one per "
@@ -391,6 +397,28 @@ def main(argv: Optional[List[str]] = None) -> int:
             "terms": np.asarray(list(vocab.iter_terms()), dtype=object),
             "entities": np.asarray(registry.names, dtype=object),
         }
+        if args.format == "word2vec":
+            # The classic text format (one header line "N d", then
+            # "token v1 .. vd") — loadable by gensim's
+            # KeyedVectors.load_word2vec_format(binary=False) and every
+            # SERT-era embedding tool. Tokens must be space-free.
+            base = args.out[:-4] if args.out.endswith(".npz") else args.out
+
+            def _w2v(path, names, mat):
+                with open(path, "w") as fh:
+                    fh.write(f"{mat.shape[0]} {mat.shape[1]}\n")
+                    for name, row in zip(names, mat):
+                        tok = str(name).replace(" ", "_")
+                        fh.write(tok + " "
+                                 + " ".join(f"{x:.6f}" for x in
+                                            row.astype(np.float64)) + "\n")
+
+            wpath, epath = base + ".words.vec", base + ".entities.vec"
+            _w2v(wpath, out["terms"], out["word_emb"])
+            _w2v(epath, out["entities"], out["entity_matrix"])
+            print(f"wrote {wpath} ({out['word_emb'].shape}) and "
+                  f"{epath} ({out['entity_matrix'].shape})")
+            return 0
         bias = model_api.entity_bias(params, resolved.model)
         if bias is not None:
             out["entity_bias"] = np.asarray(bias)

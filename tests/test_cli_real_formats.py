@@ -220,6 +220,46 @@ class TestRealFormatPipeline:
             cli_main(["neighbors", "--recipe", recipe, "--data", data,
                       "--run-dir", run_dir])  # neither --term nor --entity
 
+    def test_dump_word2vec_format(self, workdir, capsys):
+        """--format word2vec writes the classic text vectors (header line
+        "N d", space-free tokens) matching the npz export numerically."""
+        import numpy as np
+        root = str(workdir)
+        base = os.path.join(root, "w2v")
+        assert cli_main(["dump", "--recipe", os.path.join(root, "recipe.json"),
+                         "--data", os.path.join(root, "data"),
+                         "--run-dir", os.path.join(root, "run"),
+                         "--out", base, "--format", "word2vec"]) == 0
+        capsys.readouterr()
+        z_path = os.path.join(root, "dump.npz")
+        if not os.path.exists(z_path):
+            assert cli_main(["dump", "--recipe",
+                             os.path.join(root, "recipe.json"),
+                             "--data", os.path.join(root, "data"),
+                             "--run-dir", os.path.join(root, "run"),
+                             "--out", z_path]) == 0
+            capsys.readouterr()
+        z = np.load(z_path, allow_pickle=True)
+        for suffix, names_key, mat_key in (
+                (".words.vec", "terms", "word_emb"),
+                (".entities.vec", "entities", "entity_matrix")):
+            with open(base + suffix) as fh:
+                lines = fh.read().splitlines()
+            n, d = map(int, lines[0].split())
+            assert (n, d) == z[mat_key].shape
+            assert len(lines) == n + 1
+            toks, vecs = [], []
+            for line in lines[1:]:
+                parts = line.split(" ")
+                assert len(parts) == d + 1
+                toks.append(parts[0])
+                vecs.append([float(x) for x in parts[1:]])
+            want = [str(s).replace(" ", "_") for s in z[names_key]]
+            assert toks == want
+            np.testing.assert_allclose(np.asarray(vecs),
+                                       z[mat_key].astype(np.float64),
+                                       atol=1e-6)
+
     def test_init_word_emb_seeds_from_dump(self, workdir, tmp_path):
         """train --init-word-emb: a dump from run A seeds run B's word
         embeddings exactly for shared terms (tested at num_epochs=0 so the

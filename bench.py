@@ -10,11 +10,30 @@ see BASELINE.md). Target per BASELINE.json: >= 10x.
 import json
 import os
 import sys
+import threading
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The tunneled chip can wedge indefinitely (orphaned compiles block every
+# later client; observed 4+ hour relay outages). A clean non-zero exit with
+# a diagnostic beats hanging the driver: 20 min comfortably covers the
+# worst observed cold compile at this size (~2 min) plus the run itself.
+_WATCHDOG_SECS = 1200
+
+
+def _watchdog():
+    sys.stderr.write(
+        "bench.py watchdog: no result after "
+        f"{_WATCHDOG_SECS}s — TPU relay unreachable or a wedged remote "
+        "compile; aborting instead of hanging the driver\n")
+    sys.stderr.flush()
+    os._exit(17)
+
 
 def main() -> None:
+    timer = threading.Timer(_WATCHDOG_SECS, _watchdog)
+    timer.daemon = True      # never keep a finished bench process alive
+    timer.start()
     from benchmarks.score_bench import measure_entities_per_sec
 
     # 400 sweeps per timed jit call amortizes the ~24 ms tunnel-dispatch RTT
@@ -37,6 +56,7 @@ def main() -> None:
         "unit": "entities/sec",
         "vs_baseline": round(r["entities_per_sec"] / cpu, 3),
     }))
+    timer.cancel()
 
 
 if __name__ == "__main__":

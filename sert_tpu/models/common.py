@@ -16,6 +16,22 @@ def compute_dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def masked_mean_pool(rows: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Masked-mean over pre-gathered window rows: [B, w, d], [B] -> [B, d].
+
+    Positions past each length are padding and excluded; zero-length
+    windows (all-OOV input) yield a zero vector rather than NaN. The ONE
+    pooling core — masked_mean_embed and the row-sparse step's
+    gathered-rows forward (train/sparse.py) must stay numerically
+    identical, so both delegate here.
+    """
+    w = rows.shape[1]
+    mask = (jnp.arange(w)[None, :] < lengths[:, None])        # [B, w]
+    rows = rows * mask[:, :, None].astype(rows.dtype)
+    denom = jnp.maximum(lengths, 1).astype(rows.dtype)[:, None]
+    return jnp.sum(rows, axis=1) / denom                      # [B, d]
+
+
 def masked_mean_embed(word_emb: jax.Array, windows: jax.Array,
                       lengths: jax.Array) -> jax.Array:
     """Masked-mean pooling of word embeddings over a fixed-width window.
@@ -23,15 +39,9 @@ def masked_mean_embed(word_emb: jax.Array, windows: jax.Array,
     ``windows`` int32[B, w], ``lengths`` int32[B] (<= w; positions past the
     length are padding and excluded). The reference averaged ragged windows
     (SURVEY.md section 1, model descriptions); static TPU shapes demand the
-    mask formulation. Zero-length windows (all-OOV input) yield a zero
-    vector rather than NaN.
+    mask formulation.
     """
-    emb = word_emb[windows]                                   # [B, w, d]
-    w = windows.shape[1]
-    mask = (jnp.arange(w)[None, :] < lengths[:, None])        # [B, w]
-    emb = emb * mask[:, :, None].astype(emb.dtype)
-    denom = jnp.maximum(lengths, 1).astype(emb.dtype)[:, None]
-    return jnp.sum(emb, axis=1) / denom                       # [B, d]
+    return masked_mean_pool(word_emb[windows], lengths)       # [B, d]
 
 
 def scaled_normal_init(rng: jax.Array, shape, dim: int,

@@ -97,7 +97,11 @@ def loss(params: Params, batch, cfg: ModelConfig, rng: jax.Array = None,
     B = reps.shape[0]
     if negatives is None:
         if noise is None:
-            noise = jnp.zeros((cfg.num_entities,), jnp.float32)
+            # Barrier: a constant zeros table would let XLA constant-fold
+            # sample_negatives' softmax+cumsum over [E] at COMPILE time,
+            # superlinearly in E (same guard as train/step.py).
+            noise = jax.lax.optimization_barrier(
+                jnp.zeros((cfg.num_entities,), jnp.float32))
         negatives = sample_negatives(rng, noise, B, cfg)                # [B, k]
 
     ent = params["entity_emb"].astype(jnp.float32)
@@ -141,7 +145,10 @@ def loss_sampled_softmax(params: Params, batch, cfg: ModelConfig,
     """
     reps = window_rep(params, batch["windows"], batch["lengths"], cfg)  # [B, de]
     if noise is None:
-        noise = jnp.zeros((cfg.num_entities,), jnp.float32)
+        # Barrier: see loss() — prevents compile-time folding of the
+        # sampling pipeline built on a constant table.
+        noise = jax.lax.optimization_barrier(
+            jnp.zeros((cfg.num_entities,), jnp.float32))
     logq = jax.nn.log_softmax(noise.astype(jnp.float32))                # [E]
     if negatives is None:
         negatives = sample_negatives(rng, noise, 1, cfg)[0]             # [k]

@@ -58,6 +58,22 @@ def _to_host(leaf: Any) -> np.ndarray:
     return np.asarray(jax.device_get(leaf))
 
 
+def _storable(arr: np.ndarray) -> np.ndarray:
+    """npz-roundtrippable view of a host array.
+
+    np.savez silently degrades ml_dtypes dtypes (bfloat16) to raw void
+    ('|V2'), which np.load returns un-castable — a bf16-params checkpoint
+    would save fine and then be UNLOADABLE. Store such arrays as a
+    same-width uint view; _unflatten views them back through the template
+    leaf's dtype (which is the single source of dtype truth either way)."""
+    if arr.dtype.kind == "V":                # ml_dtypes extension dtypes
+        if arr.dtype.itemsize == 2:          # bfloat16
+            return arr.view(np.uint16)
+        if arr.dtype.itemsize == 1:          # fp8 family, should it appear
+            return arr.view(np.uint8)
+    return arr
+
+
 def _flatten(tree: Any) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
@@ -66,7 +82,7 @@ def _flatten(tree: Any) -> Dict[str, np.ndarray]:
             # Typed PRNG keys serialize as their uint32 key data.
             flat[key] = _to_host(jax.random.key_data(leaf))
         else:
-            flat[key] = _to_host(leaf)
+            flat[key] = _storable(_to_host(leaf))
     return flat
 
 
@@ -98,7 +114,16 @@ def _unflatten(template: Any, flat: Dict[str, np.ndarray]) -> Any:
             raise ValueError(
                 f"checkpoint leaf {key} shape {arr.shape} != expected "
                 f"{tuple(leaf.shape)}")
-        leaves.append(arr.astype(leaf.dtype))
+        want = np.dtype(leaf.dtype)
+        if (want.kind == "V" and arr.dtype.kind in ("u", "V")
+                and arr.dtype.itemsize == want.itemsize):
+            # Extension dtypes (bfloat16) travel as a same-width uint
+            # carrier (_storable) — or raw void in legacy files. Restore
+            # by BIT REINTERPRETATION: astype would numerically convert
+            # the carrier integers into garbage values.
+            leaves.append(arr.view(want))
+        else:
+            leaves.append(arr.astype(want))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
@@ -142,6 +167,29 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
                 os.remove(j)
     if multi:
         _barrier(f"ckpt-{step}")  # release the other processes
+    return base + ".npz"
+
+
+def rewrite_meta(ckpt_dir: str, step: int, meta: Optional[Dict]) -> str:
+    """Atomically replace an EXISTING checkpoint's JSON sidecar.
+
+    The epoch-end snapshot and a step-aligned mid-epoch save land on the
+    same ckpt-{step} path with identical params — only the meta (epoch,
+    cursor) differs. Rewriting the sidecar upgrades the mid-epoch save to
+    the epoch snapshot without re-fetching and re-writing the multi-GB
+    npz. Multi-host: collective, same contract as save_checkpoint."""
+    multi = jax.process_count() > 1
+    base = os.path.join(ckpt_dir, f"ckpt-{step:08d}")
+    if multi and jax.process_index() != 0:
+        _barrier(f"ckpt-meta-{step}")
+        return base + ".npz"
+    if not os.path.exists(base + ".npz"):
+        raise FileNotFoundError(f"no checkpoint to rewrite at {base}.npz")
+    with open(base + ".json.tmp", "w") as fh:
+        json.dump({"step": int(step), **(meta or {})}, fh, indent=2)
+    os.replace(base + ".json.tmp", base + ".json")
+    if multi:
+        _barrier(f"ckpt-meta-{step}")
     return base + ".npz"
 
 

@@ -73,13 +73,16 @@ def fused_enabled(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
                 "fused_update='on' requires model in (loglinear, lse_full), "
                 "optimizer in (adam, adagrad, sgd), weight_decay=0, "
                 "grad_clip_norm=0, mesh_shape=(1, 1), word/entity dim a "
-                "multiple of 128, and batch_size*dim*4 <= 4MB; got "
+                "multiple of 128, and a kernel working set that fits the "
+                "VMEM plan (ops/xent.fused_update_te: streamed W/state "
+                "tiles + the [batch, dim] dpooled accumulator); got "
                 f"model={model_cfg.model!r} "
                 f"optimizer={train_cfg.optimizer!r} "
                 f"weight_decay={train_cfg.weight_decay} "
                 f"grad_clip_norm={train_cfg.grad_clip_norm} "
                 f"mesh={tuple(train_cfg.mesh_shape)} "
-                f"batch={train_cfg.batch_size}")
+                f"batch={train_cfg.batch_size} "
+                f"dim={model_cfg.word_dim if model_cfg.model == 'loglinear' else model_cfg.entity_dim}")
         return True
     raise ValueError(f"unknown fused_update mode: {mode!r}")
 

@@ -125,6 +125,18 @@ def train(
         state = state._replace(params=new_params)
     if latest is not None:
         state, meta = ckpt.load_checkpoint(latest, state)
+        # Resume guard: continuing with embeddings indexed by a DIFFERENT
+        # vocabulary/entity assignment (data dir re-prepared since the
+        # checkpoint) silently corrupts the model — the same vocab-hash
+        # contract the scoring loaders enforce (pipeline.load_scorer).
+        ck_hash = meta.get("vocab_hash")
+        ds_hash = dataset.meta.get("vocab_hash")
+        if ck_hash and ds_hash and ck_hash != ds_hash:
+            raise ValueError(
+                f"cannot resume from {latest}: it was trained against a "
+                "different vocabulary than the data dir now holds "
+                "(re-prepared corpus?); retrain fresh (resume=False / new "
+                "out_dir) or restore the original prepared data")
         # Restore the mesh placement the init template had (checkpoints are
         # host-gathered; a sharded step needs sharded inputs back).
         state = jax.tree.map(
@@ -183,6 +195,7 @@ def train(
             t_last = time.perf_counter()
             prev_step = int(state.step)
             epoch_losses = []
+            last_save_step = -1
             for dev_batch, next_cursor in feeder:
                 state, metrics = train_step(state, dev_batch)
                 last_cursor = next_cursor
@@ -205,16 +218,27 @@ def train(
                         ckpt_dir, step_i, state,
                         {"epoch": epoch, "cursor": list(last_cursor), **meta_common},
                         max_to_keep=tcfg.keep_checkpoints, sync=sync_saves)
+                    last_save_step = step_i
             # End of epoch: snapshot (reference's per-epoch dump). The slow
             # device->host fetch runs on the saver's thread over a device
             # copy — the next epoch starts immediately (NOTES.md: the sync
             # fetch cost 600-860 s/epoch on the tunneled chip at E=1M).
             jax.block_until_ready(state.params)
             step_i = int(state.step)
-            saver.save(
-                ckpt_dir, step_i, state,
-                {"epoch": epoch + 1, "cursor": None, **meta_common},
-                max_to_keep=tcfg.keep_checkpoints, sync=sync_saves)
+            if last_save_step == step_i:
+                # checkpoint_every_steps aligned with the epoch boundary:
+                # the params on disk are ALREADY this state — upgrade the
+                # mid-epoch save's sidecar to the epoch snapshot instead of
+                # re-fetching and re-writing the multi-GB npz.
+                saver.wait()
+                ckpt.rewrite_meta(ckpt_dir, step_i,
+                                  {"epoch": epoch + 1, "cursor": None,
+                                   **meta_common})
+            else:
+                saver.save(
+                    ckpt_dir, step_i, state,
+                    {"epoch": epoch + 1, "cursor": None, **meta_common},
+                    max_to_keep=tcfg.keep_checkpoints, sync=sync_saves)
             log.info("epoch %d done at step %d%s", epoch, step_i,
                      (" (mean logged loss %.4f)" % float(np.mean(epoch_losses)))
                      if epoch_losses else "")

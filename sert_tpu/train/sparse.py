@@ -182,13 +182,9 @@ def _forward(dense_p, word_rows, ent_rows, batch, negatives, corr,
     (sampled_softmax) or None (nce).
     """
     ct = compute_dtype(cfg)
-    w = batch["windows"].shape[-1]
-    lengths = batch["lengths"]
-    emb = word_rows.astype(ct)                                  # [B, w, dw]
-    mask = (jnp.arange(w)[None, :] < lengths[:, None])
-    emb = emb * mask[:, :, None].astype(emb.dtype)
-    denom = jnp.maximum(lengths, 1).astype(emb.dtype)[:, None]
-    pooled = jnp.sum(emb, axis=1) / denom                       # [B, dw]
+    from sert_tpu.models.common import masked_mean_pool
+    pooled = masked_mean_pool(word_rows.astype(ct),
+                              batch["lengths"])                 # [B, dw]
     h = jnp.dot(pooled, dense_p["proj_w"].astype(ct),
                 preferred_element_type=jnp.float32)
     reps = jnp.tanh(h + dense_p["proj_b"].astype(jnp.float32))  # [B, de]
@@ -252,8 +248,12 @@ def make_sparse_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
 
     def step(state: TrainState, batch):
         rng, sub = jax.random.split(state.rng)
-        nz = (jax.lax.optimization_barrier(noise)
-              if noise is not None else jnp.zeros((E,), jnp.float32))
+        # Barrier EITHER way: a constant zeros fallback is just as
+        # foldable as a closed-over noise table — XLA constant-folds the
+        # softmax+cumsum sampling pipeline over [E] at compile time,
+        # superlinearly in E (see train/step.py's identical guard).
+        nz = jax.lax.optimization_barrier(
+            noise if noise is not None else jnp.zeros((E,), jnp.float32))
         B = batch["windows"].shape[0]
         if cfg.objective == "sampled_softmax":
             negatives = lse_model.sample_negatives(sub, nz, 1, cfg)[0]  # [k]

@@ -461,3 +461,84 @@ class TestLoop:
         train(recipe, ds, out, deterministic_feed=True)
         cks = ckpt.list_checkpoints(os.path.join(out, "checkpoints"))
         assert len(cks) == TCFG.num_epochs
+
+
+class TestBf16Checkpoint:
+    def test_bf16_params_roundtrip_bit_exact(self, tmp_path):
+        """np.savez degrades ml_dtypes.bfloat16 to raw void ('|V2'), which
+        made every bf16-params checkpoint UNLOADABLE (and a numeric astype
+        from a uint16 carrier would corrupt values). The fix stores a
+        uint16 view and restores by bit reinterpretation."""
+        mcfg = ModelConfig(model="loglinear", vocab_size=50, num_entities=7,
+                           word_dim=8, param_dtype="bfloat16",
+                           compute_dtype="bfloat16")
+        state = init_state(jax.random.key(1), mcfg, TCFG)
+        path = ckpt.save_checkpoint(str(tmp_path), 0, state)
+        template = jax.eval_shape(
+            lambda: init_state(jax.random.key(0), mcfg, TCFG))
+        restored, _ = ckpt.load_checkpoint(path, template)
+        for k in state.params:
+            assert restored.params[k].dtype == state.params[k].dtype
+            np.testing.assert_array_equal(
+                np.asarray(restored.params[k]).view(np.uint16),
+                np.asarray(state.params[k]).view(np.uint16), err_msg=k)
+        # and training continues from the restored state
+        step = make_train_step(mcfg, TCFG)
+        rng = np.random.default_rng(0)
+        _, m = step(restored, {k: jnp.asarray(v)
+                               for k, v in _batch(rng).items()})
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestEpochBoundaryCheckpoint:
+    def test_aligned_midstep_save_upgraded_not_duplicated(self, tmp_path,
+                                                          monkeypatch):
+        """checkpoint_every_steps aligned with the epoch boundary must not
+        re-fetch and re-write the identical state: the mid-epoch save's
+        sidecar is UPGRADED to the epoch snapshot (cursor None)."""
+        ds, _ = _prepared_dataset(tmp_path)
+        tcfg = TCFG.__class__(**{**TCFG.__dict__,
+                                 "checkpoint_every_steps": 1,
+                                 "num_epochs": 1,
+                                 "async_checkpoint": False})
+        recipe = RecipeConfig(name="t", model=MCFG, train=tcfg)
+
+        saves = []
+        real_save = ckpt.save_checkpoint
+
+        def spy(ckpt_dir, step, *a, **kw):
+            saves.append(int(step))
+            return real_save(ckpt_dir, step, *a, **kw)
+
+        monkeypatch.setattr(ckpt, "save_checkpoint", spy)
+        out = str(tmp_path / "run")
+        final = train(recipe, ds, out, deterministic_feed=True)
+        final_step = int(final.step)
+        assert saves.count(final_step) == 1     # npz written exactly once
+        latest = ckpt.latest_checkpoint(os.path.join(out, "checkpoints"))
+        meta = ckpt.load_meta(latest)
+        assert meta["step"] == final_step
+        assert meta["cursor"] is None           # upgraded to epoch snapshot
+        assert meta["epoch"] == 1
+        # resume sees a completed epoch and trains the next one exactly
+        tcfg2 = tcfg.__class__(**{**tcfg.__dict__, "num_epochs": 2})
+        resumed = train(RecipeConfig(name="t", model=MCFG, train=tcfg2),
+                        ds, out, deterministic_feed=True)
+        assert int(resumed.step) == 2 * final_step
+
+
+class TestResumeVocabGuard:
+    def test_resume_rejects_foreign_vocab_hash(self, tmp_path):
+        """Resuming over a RE-PREPARED data dir (different vocab hash) must
+        refuse instead of silently training with permuted embeddings."""
+        ds, _ = _prepared_dataset(tmp_path)
+        tcfg = TCFG.__class__(**{**TCFG.__dict__, "num_epochs": 1,
+                                 "async_checkpoint": False})
+        recipe = RecipeConfig(name="t", model=MCFG, train=tcfg)
+        out = str(tmp_path / "run")
+        train(recipe, ds, out, deterministic_feed=True)
+        ds2, _ = _prepared_dataset(tmp_path / "other", seed=5)
+        tcfg2 = tcfg.__class__(**{**tcfg.__dict__, "num_epochs": 2})
+        with pytest.raises(ValueError, match="different vocabulary"):
+            train(RecipeConfig(name="t", model=MCFG, train=tcfg2),
+                  ds2, out, deterministic_feed=True)

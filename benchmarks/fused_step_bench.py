@@ -23,7 +23,8 @@ import numpy as np
 
 
 def main(E, V=60_000, d=256, B=1024, spc=8, iters=10,
-         optimizers=("adam", "adagrad", "sgd"), platform=None):
+         optimizers=("adam", "adagrad", "sgd"), platform=None,
+         dtype="float32"):
     import jax
     if platform:                 # env JAX_PLATFORMS is pinned to axon by
         jax.config.update("jax_platforms", platform)  # the site hook
@@ -33,7 +34,7 @@ def main(E, V=60_000, d=256, B=1024, spc=8, iters=10,
     from sert_tpu.utils.config import ModelConfig, TrainConfig
 
     mcfg = ModelConfig(model="loglinear", vocab_size=V, num_entities=E,
-                       word_dim=d, fused_softmax="on")
+                       word_dim=d, fused_softmax="on", compute_dtype=dtype)
 
     def batch(seed):
         r = np.random.default_rng(seed)
@@ -80,8 +81,12 @@ if __name__ == "__main__":
     ap.add_argument("--spc", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--optimizers", default="adam,adagrad,sgd")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute_dtype (BASELINE.md rows are bfloat16)")
     ap.add_argument("--platform", default=None,
                     help="override jax platform (e.g. cpu for smoke runs)")
     a = ap.parse_args()
     main(a.entities, d=a.dim, B=a.batch, spc=a.spc, iters=a.iters,
-         optimizers=tuple(a.optimizers.split(",")), platform=a.platform)
+         optimizers=tuple(a.optimizers.split(",")), platform=a.platform,
+         dtype=a.dtype)

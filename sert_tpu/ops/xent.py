@@ -77,6 +77,34 @@ def _accum_dpool_ok(Bp: int, dp: int, te: int) -> bool:
     return streams + stripes + Bp * dp * 4 <= _VMEM_PLAN_BYTES
 
 
+def plain_xent_te(dp: int, cap: int = 4096) -> int:
+    """Largest entity-tile width (multiple of 128, <= ``cap``) whose PLAIN
+    fwd/bwd working set fits the VMEM plan. The backward's streams govern:
+    W in + dW out, each double-buffered, are ``4*dp*te*4`` bytes — at
+    dp=256 fp32 a te=4096 tile alone is 16MB, over the terminal-pinned
+    scoped-VMEM limit (measured on-chip: "exceeded ... by 512K" at
+    E=500k/d=256; benchmarks/NOTES.md round-3). Round-2's measured d=128
+    configs still resolve to te=4096 under this budget."""
+    te = cap
+    stripes = 2 * 2 * FUSED_TB * dp * 4      # p in + dpp-fallback stripes
+    while te >= 128:
+        if 2 * 2 * dp * te * 4 + stripes <= _VMEM_PLAN_BYTES:
+            return te
+        te //= 2
+    return 128
+
+
+def _resolve_te(te, d: int) -> int:
+    """The auto (``te=None``) tile width for a model/pooled width ``d`` —
+    budgeted on the LANES-padded dp the kernels actually see. fwd and bwd
+    must resolve identically (te is a nondiff arg of the custom VJP); both
+    call this with the same padded width."""
+    if te is not None:
+        return te
+    dp = max(-(-d // LANES) * LANES, LANES)
+    return plain_xent_te(dp)
+
+
 def fused_update_te(opt: str, dp: int, Bp: int):
     """Largest tile width (multiple of 128, capped by _FUSED_TE) whose
     optimizer-fused backward working set — streamed W/state blocks in+out
@@ -256,13 +284,15 @@ def _fwd_partials(pooled, W, b, tb, te, layout, interpret, e_total, ct):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def xent_loss(pooled: jax.Array, W: jax.Array, b: jax.Array,
               labels: jax.Array, layout: str = "de",
-              tb: int = 256, te: int = 4096,
+              tb: int = 256, te: Optional[int] = None,
               interpret: Optional[bool] = None,
               dtype: str = "float32") -> jax.Array:
     """SUM of softmax cross-entropies over the batch (divide by B for the
     mean). pooled [B, d] fp32; W [d, E] ("de") or [E, d] ("ed"); b [E];
     labels int32 [B]. B and d are padded internally (cheap); the entity
     axis is consumed unpadded via OOB tail tiles (see module docstring).
+    ``te=None`` (default) picks the widest VMEM-budgeted entity tile for
+    this d (``plain_xent_te``); pass an explicit te only for tests.
 
     ``dtype="bfloat16"`` runs every matmul (fwd logits, bwd dW/dpooled) on
     bf16 MXU passes with fp32 accumulation, casting W tiles in VMEM —
@@ -298,6 +328,7 @@ def _xent_fwd(pooled, W, b, labels, layout, tb, te, interpret,
         interpret = _interpret_default()
     ct = _ct(dtype)
     d_orig = pooled.shape[1]
+    te = _resolve_te(te, d_orig)
     pooled_p, W_k, b_p, labels_p, B, E = _prep(pooled, W, b, labels,
                                                layout, tb, te, ct)
 
@@ -384,6 +415,9 @@ def _xent_bwd(layout, tb, te, interpret, dtype, residuals, g):
         interpret = _interpret_default()
     ct = _ct(dtype)
     pooled_p, W_k, b_p, labels_p, lse, B, E, d_orig = residuals
+    # pooled_p is already LANES-padded, so this resolves identically to
+    # the forward's _resolve_te(te, d_orig) call.
+    te = _resolve_te(te, pooled_p.shape[1])
     Bp = pooled_p.shape[0]
 
     # Padded batch rows must contribute zero grad: poison their lse so
@@ -457,7 +491,11 @@ def _bwd_update_kernel(*refs, te, e_total, layout, ct, opt, lr, b1, b2,
         # block. OOB columns are zeroed in g (their m/v loads are
         # unspecified, but the corresponding stores are masked off).
         g = jnp.where(wmask, dw_scr[:] * gscale, 0.0)
-        gsq_ref[0, 0] = jnp.sum(g * g)
+        # gsq is ONE whole-array [nE, 1] VMEM-resident block (constant
+        # index map): a (1, 1) per-tile block fails Mosaic's (8, 128)
+        # block-divisibility rule on real lowering. Each j writes its row
+        # once, at its last batch revisit.
+        gsq_ref[j, 0] = jnp.sum(g * g)
         wf = w_ref[:].astype(jnp.float32)
         if opt == "adam":
             bc1, bc2 = sc_ref[0, 0], sc_ref[0, 1]
@@ -511,8 +549,8 @@ def xent_bwd_apply(pooled_p, W_k, b_p, lse_m, lab_m, *, e_total, layout,
                      memory_space=pltpu.VMEM),            # db
         pl.BlockSpec((Bp, dp), lambda j, i: (0, 0),
                      memory_space=pltpu.VMEM),            # dpooled
-        pl.BlockSpec((1, 1), lambda j, i: (j, 0),
-                     memory_space=pltpu.VMEM),            # gsq per tile
+        pl.BlockSpec((nE, 1), lambda j, i: (0, 0),
+                     memory_space=pltpu.VMEM),            # gsq (whole array)
     ]
     common_shapes = [jax.ShapeDtypeStruct((1, Ep), jnp.float32),
                      jax.ShapeDtypeStruct((Bp, dp), jnp.float32),
@@ -643,7 +681,7 @@ def xent_loss_apply(pooled, W, b, labels, *, opt, opt_tree, lr, count,
 def make_sharded_xent_loss(mesh, layout: str = "de",
                            data_axis: str = "data",
                            model_axis: str = "model",
-                           tb: int = 256, te: int = 4096,
+                           tb: int = 256, te: Optional[int] = None,
                            interpret: Optional[bool] = None,
                            dtype: str = "float32"):
     """Build ``fn(pooled [B,d], W, b [E], labels [B]) -> scalar loss SUM``
@@ -677,11 +715,13 @@ def make_sharded_xent_loss(mesh, layout: str = "de",
     def _fwd(pooled_l, W_l, b_l, labels_l):
         ip = _interpret_default() if interpret is None else interpret
         d_orig = pooled_l.shape[1]
+        te_r = _resolve_te(te, d_orig)
         # _prep pads the LOCAL block; its E_orig is the local row/col count.
         pooled_p, W_k, b_p, labels_p, Bl, El = _prep(
-            pooled_l, W_l, b_l, labels_l, layout, tb, te, ct)
+            pooled_l, W_l, b_l, labels_l, layout, tb, te_r, ct)
 
-        m, s = _fwd_partials(pooled_p, W_k, b_p, tb, te, layout, ip, El, ct)
+        m, s = _fwd_partials(pooled_p, W_k, b_p, tb, te_r, layout, ip, El,
+                             ct)
         M_l = jnp.max(m, axis=0)                            # [Bp] local max
         S_l = jnp.sum(s * jnp.exp(m - M_l[None, :]), axis=0)
         g_max = jax.lax.pmax(M_l, model_axis)
@@ -723,7 +763,8 @@ def make_sharded_xent_loss(mesh, layout: str = "de",
         lab_m = lab_kernel[:, None]
 
         dW, db, dpooled = _bwd_calls(pooled_p, W_k, b_p, lse_m, lab_m,
-                                     tb, te, layout, ip, El, ct)
+                                     tb, _resolve_te(te, pooled_p.shape[1]),
+                                     layout, ip, El, ct)
         # Plain LOCAL grads: the shard_map transpose psums dW/db over
         # ``data`` (they enter replicated over it) and dpooled over
         # ``model`` — no collectives here (see note above _loss).

@@ -181,10 +181,13 @@ def ll_log_normalizer(params, cfg: ModelConfig, term_ids: jax.Array,
         engine = "fused" if jax.default_backend() == "tpu" else "scan"
     Q, T = term_ids.shape
     if engine == "fused":
-        from sert_tpu.ops.xent import _fwd_partials, _prep
+        from sert_tpu.ops.xent import _fwd_partials, _prep, _resolve_te
         on_tpu = jax.default_backend() == "tpu"
         ct = jnp.bfloat16 if on_tpu else jnp.float32
-        tb, te = 256, 4096
+        # VMEM-budgeted tile width (the fixed 4096 blows the scoped-VMEM
+        # stack at d>=256 fp32; see ops.xent.plain_xent_te).
+        tb = 256
+        te = _resolve_te(None, params["word_emb"].shape[1])
         emb = params["word_emb"][term_ids]                   # [Q, T, d]
         flat = emb.reshape(Q * T, emb.shape[-1])
         labels = jnp.zeros((Q * T,), jnp.int32)              # unused by fwd

@@ -253,6 +253,26 @@ class TestFusedXent:
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        rtol=1e-3, atol=1e-4)
 
+    def test_auto_te_parity(self):
+        """te=None (the production default) resolves the VMEM-budgeted
+        tile and matches the XLA composition, values and grads."""
+        from sert_tpu.ops.xent import xent_loss
+        rng = np.random.default_rng(7)
+        B, d, E = 16, 48, 700
+        pooled = jnp.asarray(rng.normal(size=(B, d)).astype(np.float32))
+        W = jnp.asarray(rng.normal(size=(d, E)).astype(np.float32) * 0.3)
+        b = jnp.asarray(rng.normal(size=(E,)).astype(np.float32) * 0.1)
+        labels = jnp.asarray(rng.integers(0, E, size=B).astype(np.int32))
+        f = lambda p, W, b: xent_loss(p, W, b, labels, "de")   # te=None
+        r = lambda p, W, b: self._ref(p, W, b, labels, "de")
+        assert float(f(pooled, W, b)) == pytest.approx(
+            float(r(pooled, W, b)), rel=1e-5)
+        gf = jax.grad(f, argnums=(0, 1, 2))(pooled, W, b)
+        gr = jax.grad(r, argnums=(0, 1, 2))(pooled, W, b)
+        for a, c in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-3, atol=1e-4)
+
     def test_model_losses_match_unfused(self):
         """loglinear + lse_full with fused_softmax='on' equal the XLA path,
         values and gradients."""

@@ -240,6 +240,21 @@ class TestVmemPlan:
         # gigantic accumulator: inapplicable, not a Mosaic crash
         assert fused_update_te("adam", 1024, 1 << 15) is None
 
+    def test_plain_te_budget(self):
+        """The on-chip failure this budget fixes: d=256 fp32 at te=4096
+        holds 16MB of W-in + dW-out streams alone, 512K over the
+        terminal-pinned scoped-VMEM limit. d=128 (the measured round-2
+        rows) must keep resolving to the full 4096 tile."""
+        from sert_tpu.ops.xent import _resolve_te, plain_xent_te
+        assert plain_xent_te(128) == 4096
+        assert plain_xent_te(256) == 2048
+        assert plain_xent_te(512) == 1024
+        # explicit te wins; auto pads d to LANES before budgeting
+        assert _resolve_te(640, 256) == 640
+        assert _resolve_te(None, 200) == plain_xent_te(256)
+        # fwd (raw d) and bwd (padded dp) must resolve identically
+        assert _resolve_te(None, 250) == _resolve_te(None, 256)
+
     def test_applicability_rejects_oversized_geometry(self):
         mcfg = ModelConfig(model="loglinear", vocab_size=V,
                            num_entities=E, word_dim=1024,

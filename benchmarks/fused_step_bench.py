@@ -56,13 +56,18 @@ def main(E, V=60_000, d=256, B=1024, spc=8, iters=10,
             step = make_train_step(mcfg, tcfg)
             t0 = time.time()
             state, m = step(state, batch(1))
-            jax.block_until_ready(m["loss"])
-            print(f"{optn}/{mode}: compile+first {time.time()-t0:.1f}s",
-                  flush=True)
+            print(f"{optn}/{mode}: compile+first {time.time()-t0:.1f}s "
+                  f"(first loss {float(m['loss']):.4f})", flush=True)
+            # Fence each call with a HOST FETCH of its loss:
+            # jax.block_until_ready has been observed returning early on
+            # the axon relay (an adam/off run "measured" 0.17 ms/step
+            # while float() later blocked for the full compute). The
+            # per-call fetch adds one tunnel RTT (~1.4 ms) per spc-step
+            # call — noise against the ~50-90 ms of real work per call.
             t0 = time.time()
             for i in range(iters):
                 state, m = step(state, batch(2 + i))
-            jax.block_until_ready(m["loss"])
+                _ = float(m["loss"])
             ms = (time.time() - t0) / (iters * spc) * 1e3
             out[mode] = ms
             print(f"{optn}/{mode}: {ms:.2f} ms/step = {1e3/ms:.0f} steps/s "

@@ -491,10 +491,11 @@ def _bwd_update_kernel(*refs, te, e_total, layout, ct, opt, lr, b1, b2,
         # block. OOB columns are zeroed in g (their m/v loads are
         # unspecified, but the corresponding stores are masked off).
         g = jnp.where(wmask, dw_scr[:] * gscale, 0.0)
-        # gsq is ONE whole-array [nE, 1] VMEM-resident block (constant
-        # index map): a (1, 1) per-tile block fails Mosaic's (8, 128)
-        # block-divisibility rule on real lowering. Each j writes its row
-        # once, at its last batch revisit.
+        # gsq lives in SMEM as ONE whole [nE, 1] array: scalar stores are
+        # legal there, while VMEM rejects both rank-0 stores ("Cannot
+        # store scalars to VMEM") and (1, 1) per-tile blocks (Mosaic's
+        # (8, 128) block-divisibility rule) on real lowering. Each j
+        # writes its row once, at its last batch revisit.
         gsq_ref[j, 0] = jnp.sum(g * g)
         wf = w_ref[:].astype(jnp.float32)
         if opt == "adam":
@@ -549,8 +550,7 @@ def xent_bwd_apply(pooled_p, W_k, b_p, lse_m, lab_m, *, e_total, layout,
                      memory_space=pltpu.VMEM),            # db
         pl.BlockSpec((Bp, dp), lambda j, i: (0, 0),
                      memory_space=pltpu.VMEM),            # dpooled
-        pl.BlockSpec((nE, 1), lambda j, i: (0, 0),
-                     memory_space=pltpu.VMEM),            # gsq (whole array)
+        pl.BlockSpec(memory_space=pltpu.SMEM),            # gsq (whole array)
     ]
     common_shapes = [jax.ShapeDtypeStruct((1, Ep), jnp.float32),
                      jax.ShapeDtypeStruct((Bp, dp), jnp.float32),

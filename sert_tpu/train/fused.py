@@ -64,9 +64,16 @@ def fused_enabled(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
         # Auto additionally requires the fused xent kernel itself to be
         # the active loss path (TPU backend or an explicit fused_softmax
         # override) — on other backends the XLA composition wins.
+        # Measured on-chip (E=500k, d=128, bf16, B=1024 — benchmarks/
+        # fused_step_bench.py, NOTES.md round-3): sgd 1.08x, adagrad
+        # 0.99x, adam 0.82x (adam's 6-stream working set forces te=512
+        # tiles, and the step is compute- not pass-bound at this scale),
+        # so auto enables the fusion only where it wins. "on" remains
+        # available for every applicable optimizer.
         from sert_tpu.models.loglinear import _use_fused
-        return fused_applicable(model_cfg, train_cfg) and _use_fused(
-            model_cfg)
+        return (train_cfg.optimizer == "sgd"
+                and fused_applicable(model_cfg, train_cfg)
+                and _use_fused(model_cfg))
     if mode == "on":
         if not fused_applicable(model_cfg, train_cfg):
             raise ValueError(

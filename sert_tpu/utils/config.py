@@ -124,8 +124,12 @@ class TrainConfig:
     # Optimizer update fused into the dense-softmax backward kernel
     # (train/fused.py): for loglinear / lse_full with adam/adagrad/sgd the
     # [d, E] matrix's dW never reaches HBM — 10 matrix passes/step become
-    # 7. "auto" enables it exactly when semantics match the dense step
-    # (no clipping/decay, single device); the optax state layout is
+    # 7. Measured on-chip this is a win only for sgd (1.08x; adagrad
+    # 0.99x, adam 0.82x — the step is compute-bound at E=500k/d=128 and
+    # adam's extra m/v streams shrink the entity tile; NOTES.md round-3),
+    # so "auto" enables it exactly when semantics match the dense step
+    # (no clipping/decay, single device) AND optimizer == sgd. "on"
+    # forces it for any applicable optimizer. The optax state layout is
     # UNCHANGED, so checkpoints interoperate with fused_update on or off.
     fused_update: str = "auto"      # "auto" | "on" | "off"
 

@@ -56,12 +56,15 @@ def main(E, V=250_000, d=128, B=4096, k=1024, spc=4, iters=10):
         step = make_train_step(mcfg, tcfg, noise=noise)
         t0 = time.time()
         state, m = step(state, batch(1))
-        jax.block_until_ready(m["loss"])
+        _ = float(m["loss"])         # host fetch: block_until_ready has
         print(f"{mode}: compile+first {time.time()-t0:.1f}s", flush=True)
+        # ... been observed returning EARLY through the axon relay (see
+        # fused_step_bench.py / NOTES.md round-3), so fence every call
+        # with a host fetch of its loss instead.
         t0 = time.time()
         for i in range(iters):
             state, m = step(state, batch(2 + i))
-        jax.block_until_ready(m["loss"])
+            _ = float(m["loss"])
         ms = (time.time() - t0) / (iters * spc) * 1e3
         out[mode] = ms
         print(f"{mode}: {ms:.2f} ms/step (steps_per_call={spc})", flush=True)

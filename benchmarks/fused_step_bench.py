@@ -65,15 +65,14 @@ def main(E, V=60_000, d=256, B=1024, spc=8, iters=10,
             # per-call fetch adds one tunnel RTT (~1.4 ms) per spc-step
             # call — noise against the ~50-90 ms of real work per call.
             # Also fence the FINAL call's optimizer writes (the loss is
-            # ready before they land); pre-compile the fetch expression.
-            big = max(state.params, key=lambda k_: state.params[k_].size)
-            pfence = jax.jit(lambda p: jnp.sum(p.ravel()[:8]))
-            _ = float(pfence(state.params[big]))
+            # ready before they land): benchmarks/fence.py.
+            from benchmarks.fence import make_param_fence
+            pfence = make_param_fence(state)
             t0 = time.time()
             for i in range(iters):
                 state, m = step(state, batch(2 + i))
                 _ = float(m["loss"])
-            _ = float(pfence(state.params[big]))
+            pfence(state)
             ms = (time.time() - t0) / (iters * spc) * 1e3
             out[mode] = ms
             print(f"{optn}/{mode}: {ms:.2f} ms/step = {1e3/ms:.0f} steps/s "

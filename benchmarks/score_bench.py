@@ -162,17 +162,15 @@ def measure_train_steps_per_sec(
     float(m["loss"])               # host fetch = the only real fence here
     # The loss is ready BEFORE the final call's optimizer writes land
     # (observed: params fetch blocked ~2s after the loss was available),
-    # so also fence on a param scalar. Pre-compile that fetch expression
-    # here so its one-time compile doesn't pollute the timed region.
-    import jax.numpy as jnp
-    big = max(state.params, key=lambda k_: state.params[k_].size)
-    param_fence = jax.jit(lambda p: jnp.sum(p.ravel()[:8]))
-    float(param_fence(state.params[big]))
+    # so also fence on a param scalar: benchmarks/fence.py (pre-compiled
+    # there, outside the timed region).
+    from benchmarks.fence import make_param_fence
+    param_fence = make_param_fence(state)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch)
     float(m["loss"])
-    float(param_fence(state.params[big]))
+    param_fence(state)
     dt = (time.perf_counter() - t0) / (iters * max(steps_per_call, 1))
     return {
         "steps_per_sec": 1.0 / dt,

@@ -60,11 +60,16 @@ def main(E, V=250_000, d=128, B=4096, k=1024, spc=4, iters=10):
         print(f"{mode}: compile+first {time.time()-t0:.1f}s", flush=True)
         # ... been observed returning EARLY through the axon relay (see
         # fused_step_bench.py / NOTES.md round-3), so fence every call
-        # with a host fetch of its loss instead.
+        # with a host fetch of its loss — and fence the FINAL call's
+        # optimizer writes too (the dense arm's full scatter + moment
+        # rewrite is the very cost being A/B'd): benchmarks/fence.py.
+        from benchmarks.fence import make_param_fence
+        pfence = make_param_fence(state)
         t0 = time.time()
         for i in range(iters):
             state, m = step(state, batch(2 + i))
             _ = float(m["loss"])
+        pfence(state)
         ms = (time.time() - t0) / (iters * spc) * 1e3
         out[mode] = ms
         print(f"{mode}: {ms:.2f} ms/step (steps_per_call={spc})", flush=True)

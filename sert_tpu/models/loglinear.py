@@ -52,7 +52,20 @@ def _use_fused(cfg: ModelConfig) -> bool:
         return True
     if cfg.fused_softmax == "off":
         return False
-    return cfg.num_entities >= 4096 and jax.default_backend() == "tpu"
+    if cfg.num_entities < 4096 or jax.default_backend() != "tpu":
+        return False
+    # Auto also requires a VMEM-plan-feasible tile at this model width
+    # (the kernel consumes the POOLED rep: word_dim for loglinear,
+    # entity_dim for lse_full); very wide models (plain_xent_te raises
+    # for dp >= ~2432) fall back to the XLA composition instead of
+    # erroring.
+    from sert_tpu.ops.xent import LANES, plain_xent_te
+    d = cfg.word_dim if cfg.model == "loglinear" else cfg.entity_dim
+    try:
+        plain_xent_te(max(-(-d // LANES) * LANES, LANES))
+    except ValueError:
+        return False
+    return True
 
 
 def loss(params: Params, batch, cfg: ModelConfig,

@@ -91,7 +91,15 @@ def plain_xent_te(dp: int, cap: int = 4096) -> int:
         if 2 * 2 * dp * te * 4 + stripes <= _VMEM_PLAN_BYTES:
             return te
         te //= 2
-    return 128
+    # Even the narrowest tile is over budget (the dp-scaled stripes alone
+    # can exceed the plan at dp >= ~2432). Returning an unchecked 128
+    # would just move the failure to an opaque Mosaic scoped-VMEM error
+    # on-chip; fail here with the actionable message instead.
+    raise ValueError(
+        f"fused softmax-CE cannot fit the VMEM plan at model width "
+        f"dp={dp}: even a 128-wide entity tile exceeds "
+        f"{_VMEM_PLAN_BYTES >> 20}MB. Use fused_softmax='off' (the XLA "
+        f"composition) for models this wide.")
 
 
 def _resolve_te(te, d: int) -> int:

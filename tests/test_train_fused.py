@@ -254,6 +254,16 @@ class TestVmemPlan:
         assert _resolve_te(None, 200) == plain_xent_te(256)
         # fwd (raw d) and bwd (padded dp) must resolve identically
         assert _resolve_te(None, 250) == _resolve_te(None, 256)
+        # widths where even te=128 is over budget fail LOUDLY (an
+        # unchecked 128 would just defer to an opaque Mosaic error)...
+        with pytest.raises(ValueError, match="VMEM plan"):
+            plain_xent_te(4096)
+        # ...and the fused_softmax='auto' gate falls back to the XLA
+        # composition for such models instead of raising.
+        from sert_tpu.models.loglinear import _use_fused
+        wide = ModelConfig(model="loglinear", vocab_size=V,
+                           num_entities=100_000, word_dim=4096)
+        assert not _use_fused(wide)
 
     def test_applicability_rejects_oversized_geometry(self):
         mcfg = ModelConfig(model="loglinear", vocab_size=V,

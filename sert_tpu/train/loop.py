@@ -106,8 +106,37 @@ def train(
                         "single-device", tcfg.mesh_shape, mesh_size,
                         jax.device_count())
 
+    pack_fn = None
     if train_step is None:
         train_step = make_train_step(mcfg, tcfg, noise=noise)
+        # Wire-format packing of the feed (data/wirepack.py): id planes
+        # travel at their true bit width and unpack inside the jitted
+        # step — bit-exact, ~1.8x fewer host->device bytes at 1M-entity
+        # scale, which is wall time on feed-bandwidth-bound links
+        # (NOTES.md: the tunneled bench chip moves 23 ms/MB). Only the
+        # loop-built single-device step packs; injected/sharded steps
+        # consume the raw planes their put_fn expects.
+        from sert_tpu.data import wirepack
+        if wirepack.feed_enabled(getattr(tcfg, "packed_feed", "off"),
+                                 mcfg.vocab_size, mcfg.num_entities):
+            V, E, w = mcfg.vocab_size, mcfg.num_entities, recipe.data.window_size
+            base_step = train_step
+
+            def _unpack_step(s, pb):
+                return base_step(s, wirepack.unpack_batch_jnp(pb, V, E, w))
+
+            train_step = jax.jit(
+                _unpack_step,
+                donate_argnums=(0,) if tcfg.donate_state else ())
+
+            def pack_fn(b):
+                return wirepack.pack_batch(b, V, E)
+
+            log.info("packed feed on (vocab=%d entities=%d): id planes "
+                     "ship at true bit width", V, E)
+    elif getattr(tcfg, "packed_feed", "off") == "on":
+        log.warning("packed_feed='on' ignored: an injected/sharded train "
+                    "step consumes raw batches")
     if init_fn is None:
         def init_fn():
             return init_state(jax.random.key(tcfg.seed), mcfg, tcfg)
@@ -188,30 +217,55 @@ def train(
             batches = dataset.iter_batches(tcfg.batch_size, epoch=epoch,
                                            start_cursor=epoch_cursor)
             batches = _group_batches(batches, n_micro, stack=stack_groups)
-            feeder = PrefetchFeeder(batches, put_fn=_batch_put(put_fn),
+            feeder = PrefetchFeeder(batches,
+                                    put_fn=_batch_put(put_fn, pack_fn),
                                     deterministic=deterministic_feed)
             feeders.append(feeder)  # closed in the finally below
             last_cursor = epoch_cursor
             t_last = time.perf_counter()
-            prev_step = int(state.step)
+            # ONE device fetch per epoch: each dev_batch advances exactly
+            # n_micro steps (incomplete groups are dropped by
+            # _group_batches), so the counter is tracked host-side — the
+            # per-call int(state.step) this replaces cost a full tunnel
+            # RTT AND serialized the dispatch pipeline on the remote-chip
+            # platform (the loop could not enqueue call N+1 until call
+            # N's counter came back). Verified against the device at the
+            # epoch boundary below.
+            prev_step = step_i = int(state.step)
             epoch_losses = []
             last_save_step = -1
-            for dev_batch, next_cursor in feeder:
+            feed_wait = 0.0
+            batch_iter = iter(feeder)
+            while True:
+                t_f = time.perf_counter()
+                try:
+                    dev_batch, next_cursor = next(batch_iter)
+                except StopIteration:
+                    break
+                feed_wait += time.perf_counter() - t_f
                 state, metrics = train_step(state, dev_batch)
                 last_cursor = next_cursor
-                step_i = int(state.step)
+                step_i += n_micro
                 # "crossed a multiple" tests: steps advance n_micro at a time.
                 if (tcfg.log_every_steps
                         and step_i % tcfg.log_every_steps < n_micro):
+                    t_s = time.perf_counter()
                     loss = float(metrics["loss"])  # device sync point
                     now = time.perf_counter()
-                    sps = (step_i - prev_step) / max(now - t_last, 1e-9)
+                    interval = max(step_i - prev_step, 1)
+                    sps = interval / max(now - t_last, 1e-9)
                     t_last, prev_step = now, step_i
                     epoch_losses.append(loss)
                     jlog.log("train_step", step=step_i, epoch=epoch, loss=loss,
                              grad_norm=float(metrics["grad_norm"]),
                              steps_per_sec=sps,
-                             instances_per_sec=sps * tcfg.batch_size)
+                             instances_per_sec=sps * tcfg.batch_size,
+                             # where the interval's wall went, per step:
+                             # waiting on the host feed vs waiting for the
+                             # device to drain at this sync point.
+                             feed_wait_ms=feed_wait * 1e3 / interval,
+                             device_sync_ms=(now - t_s) * 1e3)
+                    feed_wait = 0.0
                 if (tcfg.checkpoint_every_steps
                         and step_i % tcfg.checkpoint_every_steps < n_micro):
                     saver.save(
@@ -224,7 +278,13 @@ def train(
             # copy — the next epoch starts immediately (NOTES.md: the sync
             # fetch cost 600-860 s/epoch on the tunneled chip at E=1M).
             jax.block_until_ready(state.params)
-            step_i = int(state.step)
+            dev_step = int(state.step)
+            if dev_step != step_i:  # host-tracked counter must agree
+                raise AssertionError(
+                    f"host-tracked step {step_i} != device step {dev_step} "
+                    "at epoch end — a batch group advanced an unexpected "
+                    "number of micro-steps")
+            step_i = dev_step
             if last_save_step == step_i:
                 # checkpoint_every_steps aligned with the epoch boundary:
                 # the params on disk are ALREADY this state — upgrade the
@@ -285,12 +345,16 @@ def _group_batches(it, n: int, stack: bool = None):
             buf = []
 
 
-def _batch_put(put_fn: Optional[Callable]):
-    """Lift a device-put over (batch, cursor) pairs, leaving cursors on host."""
+def _batch_put(put_fn: Optional[Callable], pack_fn: Optional[Callable] = None):
+    """Lift a device-put over (batch, cursor) pairs, leaving cursors on
+    host. ``pack_fn`` (data/wirepack.py) runs host-side on the feeder
+    thread BEFORE the transfer — that is the point: fewer bytes cross."""
     if put_fn is None:
         def put_fn(b):
             return jax.device_put({k: jnp.asarray(v) for k, v in b.items()})
     def put(item):
         batch, cur = item
+        if pack_fn is not None:
+            batch = pack_fn(batch)
         return put_fn(batch), cur
     return put

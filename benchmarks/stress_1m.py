@@ -49,9 +49,15 @@ def build_recipe(E, vocab_size):
         # the remote compile service for 50+ minutes; the 4-step scan
         # compiles in ~20-270s and the step itself runs at ~13 ms either
         # way (dispatch overhead is amortized enough at 4).
+        # epoch_snapshot="params": the run's per-epoch dumps carry params
+        # only (the reference's own format) — the 1.9 GB adam full-state
+        # fetch per epoch drops to 0.65 GB on a host link that moves
+        # ~5.6 MB/s (the final epoch still writes full state).
+        # packed_feed defaults to auto (on for this geometry): batches
+        # ship at 22 bytes/instance instead of 40 (data/wirepack.py).
         train=TrainConfig(batch_size=4096, num_epochs=3, optimizer="adam",
                           learning_rate=3e-3, steps_per_call=4,
-                          log_every_steps=200),
+                          log_every_steps=200, epoch_snapshot="params"),
         score=ScoreConfig(top_k=100, similarity="cosine", engine="pallas"))
 
 

@@ -74,10 +74,15 @@ def _storable(arr: np.ndarray) -> np.ndarray:
     return arr
 
 
-def _flatten(tree: Any) -> Dict[str, np.ndarray]:
+def _flatten(tree: Any, keep=None) -> Dict[str, np.ndarray]:
+    """``keep(keystr) -> bool`` filters BEFORE the device->host fetch —
+    that ordering is the point of params-only snapshots: the optimizer
+    moments (2/3 of an adam state's bytes) never cross the host link."""
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = jax.tree_util.keystr(path)
+        if keep is not None and not keep(key):
+            continue
         if _is_prng_key(leaf):
             # Typed PRNG keys serialize as their uint32 key data.
             flat[key] = _to_host(jax.random.key_data(leaf))
@@ -86,20 +91,34 @@ def _flatten(tree: Any) -> Dict[str, np.ndarray]:
     return flat
 
 
+def _params_only_keep(key: str) -> bool:
+    return key.startswith(".params") or key == ".step"
+
+
 def _barrier(name: str) -> None:
     from jax.experimental import multihost_utils
     multihost_utils.sync_global_devices(name)
 
 
-def _unflatten(template: Any, flat: Dict[str, np.ndarray]) -> Any:
+def _unflatten(template: Any, flat: Dict[str, np.ndarray],
+               allow_missing: bool = False) -> Any:
     """Template leaves only provide shape/dtype — live arrays are NOT copied
     to host (that would round-trip the whole state) and abstract
-    ShapeDtypeStructs (from jax.eval_shape) work equally well."""
+    ShapeDtypeStructs (from jax.eval_shape) work equally well.
+
+    ``allow_missing`` (params-only snapshots): leaves absent from the
+    file keep the TEMPLATE leaf verbatim — a ShapeDtypeStruct from
+    eval_shape stays abstract, which is fine for consumers that only read
+    ``.params`` (scoring, sweep). Resume paths must not load such files
+    (latest_checkpoint(full_only=True))."""
     paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for path, leaf in paths_leaves:
         key = jax.tree_util.keystr(path)
         if key not in flat:
+            if allow_missing:
+                leaves.append(leaf)
+                continue
             raise KeyError(f"checkpoint missing leaf {key}")
         arr = flat[key]
         if _is_prng_key(leaf):
@@ -129,19 +148,27 @@ def _unflatten(template: Any, flat: Dict[str, np.ndarray]) -> Any:
 
 def save_checkpoint(ckpt_dir: str, step: int, state: Any,
                     meta: Optional[Dict] = None,
-                    max_to_keep: int = 0) -> str:
+                    max_to_keep: int = 0,
+                    params_only: bool = False) -> str:
     """Write ckpt-{step}.npz + ckpt-{step}.json atomically (tmp + rename).
 
     ``max_to_keep > 0`` prunes the oldest checkpoints beyond that count
     (the reference kept every epoch snapshot; epoch-level keeps are cheap,
     but step-level checkpointing wants a bound).
 
+    ``params_only``: store just ``.params`` + ``.step`` — the reference's
+    own per-epoch dump format (SURVEY.md section 3.1: "pickle/numpy dump
+    of all model params + meta per epoch"), and 1/3 the bytes of an adam
+    full state. The optimizer leaves never leave the device. Such files
+    serve scoring/sweep but NOT resume (latest_checkpoint full_only).
+
     Multi-host: collective — every process must call with the same step
     (see module docstring); only process 0 touches the filesystem, and all
     processes return after the write-complete barrier."""
     multi = jax.process_count() > 1
     base = os.path.join(ckpt_dir, f"ckpt-{step:08d}")
-    flat = _flatten(state)       # collective on a pod: all processes enter
+    keep = _params_only_keep if params_only else None
+    flat = _flatten(state, keep)  # collective on a pod: all processes enter
     if multi and jax.process_index() != 0:
         _barrier(f"ckpt-{step}")  # wait for process 0's atomic rename
         return base + ".npz"
@@ -154,8 +181,9 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
     # leave an orphan .json (harmless), never a discoverable checkpoint
     # with empty meta — that would resume at epoch 0 and skip the
     # vocab-hash guard.
+    extra = {"params_only": True} if params_only else {}
     with open(base + ".json.tmp", "w") as fh:
-        json.dump({"step": int(step), **(meta or {})}, fh, indent=2)
+        json.dump({"step": int(step), **extra, **(meta or {})}, fh, indent=2)
     os.replace(base + ".json.tmp", base + ".json")
     os.replace(tmp, base + ".npz")
     if max_to_keep > 0:
@@ -234,11 +262,11 @@ class AsyncCheckpointer:
 
     def save(self, ckpt_dir: str, step: int, state: Any,
              meta: Optional[Dict] = None, max_to_keep: int = 0,
-             sync: bool = False) -> None:
+             sync: bool = False, params_only: bool = False) -> None:
         if sync or jax.process_count() > 1:
             self.wait()
             save_checkpoint(ckpt_dir, step, state, meta,
-                            max_to_keep=max_to_keep)
+                            max_to_keep=max_to_keep, params_only=params_only)
             return
         self.wait()                      # serialize; re-raise prior failure
         snap = _device_copy(state)
@@ -246,7 +274,8 @@ class AsyncCheckpointer:
         def work() -> None:
             try:
                 save_checkpoint(ckpt_dir, step, snap, meta,
-                                max_to_keep=max_to_keep)
+                                max_to_keep=max_to_keep,
+                                params_only=params_only)
             except BaseException as exc:
                 self._err = exc
 
@@ -264,17 +293,22 @@ class AsyncCheckpointer:
             raise err
 
 
-def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+def latest_checkpoint(ckpt_dir: str, full_only: bool = False
+                      ) -> Optional[str]:
+    """Newest checkpoint path. ``full_only`` skips params-only epoch
+    snapshots (sidecar flag) — resume needs the optimizer state."""
     if not os.path.isdir(ckpt_dir):
         return None
-    best: Tuple[int, Optional[str]] = (-1, None)
+    steps = []
     for name in os.listdir(ckpt_dir):
         m = _CKPT_RE.match(name)
         if m:
-            step = int(m.group(1))
-            if step > best[0]:
-                best = (step, os.path.join(ckpt_dir, name))
-    return best[1]
+            steps.append((int(m.group(1)), os.path.join(ckpt_dir, name)))
+    for _, path in sorted(steps, reverse=True):
+        if full_only and load_meta(path).get("params_only"):
+            continue
+        return path
+    return None
 
 
 def list_checkpoints(ckpt_dir: str) -> Dict[int, str]:
@@ -298,10 +332,17 @@ def load_meta(path: str) -> Dict:
 
 
 def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict]:
-    """Restore a state pytree (shaped like ``template``) + the JSON meta."""
+    """Restore a state pytree (shaped like ``template``) + the JSON meta.
+
+    Params-only snapshots (sidecar ``params_only``) fill ``.params`` and
+    ``.step`` and leave the other template leaves verbatim — valid for
+    scoring/sweep, never handed to resume (the loop restricts resume
+    discovery to full checkpoints)."""
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
-    return _unflatten(template, flat), load_meta(path)
+    meta = load_meta(path)
+    return _unflatten(template, flat,
+                      allow_missing=bool(meta.get("params_only"))), meta
 
 
 def has_sparse_opt_state(path: str) -> bool:

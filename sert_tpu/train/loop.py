@@ -61,7 +61,11 @@ def train(
     # default, edited recipe) would otherwise fail template unflattening —
     # or worse, silently restart optimizer moments. Pin the mode to the
     # file before any step/state construction below.
-    latest = ckpt.latest_checkpoint(ckpt_dir) if resume else None
+    # full_only: params-only epoch snapshots (epoch_snapshot="params")
+    # carry no optimizer state — resume continues from the newest FULL
+    # checkpoint instead.
+    latest = (ckpt.latest_checkpoint(ckpt_dir, full_only=True)
+              if resume else None)
     if latest is not None and train_step is None and init_fn is None:
         from dataclasses import replace as _dc_replace
         from sert_tpu.train import sparse as _sparse
@@ -144,7 +148,8 @@ def train(
     state = init_fn()
     state_template = state
     start_epoch, cursor = 0, None
-    latest = ckpt.latest_checkpoint(ckpt_dir) if resume else None
+    latest = (ckpt.latest_checkpoint(ckpt_dir, full_only=True)
+              if resume else None)
     if init_params_hook is not None and latest is None:
         new_params = init_params_hook(jax.device_get(state.params))
         new_params = jax.tree.map(
@@ -295,10 +300,18 @@ def train(
                                   {"epoch": epoch + 1, "cursor": None,
                                    **meta_common})
             else:
+                # epoch_snapshot="params": intermediate epochs dump the
+                # reference-format params-only snapshot (1/3 the bytes;
+                # optimizer moments never leave the device); the FINAL
+                # epoch always writes full state so a finished run is an
+                # exact resume/continuation point.
+                p_only = (getattr(tcfg, "epoch_snapshot", "full") == "params"
+                          and epoch + 1 < tcfg.num_epochs)
                 saver.save(
                     ckpt_dir, step_i, state,
                     {"epoch": epoch + 1, "cursor": None, **meta_common},
-                    max_to_keep=tcfg.keep_checkpoints, sync=sync_saves)
+                    max_to_keep=tcfg.keep_checkpoints, sync=sync_saves,
+                    params_only=p_only)
             log.info("epoch %d done at step %d%s", epoch, step_i,
                      (" (mean logged loss %.4f)" % float(np.mean(epoch_losses)))
                      if epoch_losses else "")

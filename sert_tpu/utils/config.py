@@ -142,6 +142,17 @@ class TrainConfig:
     # fit 24 bits; sharded meshes keep raw transfer (their put_fn shards
     # the raw planes).
     packed_feed: str = "auto"       # "auto" | "on" | "off"
+    # Per-epoch snapshot contents. "full" (default) stores params +
+    # optimizer + RNG, so any epoch boundary is an exact resume point.
+    # "params" matches the REFERENCE's own per-epoch dump (params only —
+    # SURVEY.md section 3.1) at 1/3 the bytes of an adam full state (the
+    # moments never even leave the device): epoch snapshots then serve
+    # query/sweep but not resume — the FINAL epoch still writes full
+    # state, and resume falls back to the newest full checkpoint (use
+    # checkpoint_every_steps for mid-run full saves). At 1M entities the
+    # full fetch is ~1.9 GB/epoch over the host link; "params" cuts it
+    # to ~0.65 GB.
+    epoch_snapshot: str = "full"    # "full" | "params"
 
 
 @dataclass(frozen=True)

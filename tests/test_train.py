@@ -527,6 +527,97 @@ class TestEpochBoundaryCheckpoint:
         assert int(resumed.step) == 2 * final_step
 
 
+class TestParamsOnlySnapshots:
+    def _tcfg(self, **kw):
+        return TCFG.__class__(**{**TCFG.__dict__,
+                                 "num_epochs": 3,
+                                 "epoch_snapshot": "params",
+                                 "async_checkpoint": False, **kw})
+
+    def test_intermediate_params_only_final_full(self, tmp_path):
+        """epoch_snapshot='params' (the reference's own per-epoch dump
+        format): intermediate epochs store params+step only (no optimizer
+        leaves in the npz, sidecar flagged); the final epoch stays full."""
+        ds, _ = _prepared_dataset(tmp_path)
+        recipe = RecipeConfig(name="t", model=MCFG, train=self._tcfg())
+        out = str(tmp_path / "run")
+        train(recipe, ds, out, deterministic_feed=True)
+        cdir = os.path.join(out, "checkpoints")
+        paths = ckpt.list_checkpoints(cdir)
+        assert len(paths) == 3
+        steps = sorted(paths)
+        for s in steps[:-1]:
+            meta = ckpt.load_meta(paths[s])
+            assert meta.get("params_only") is True
+            with np.load(paths[s]) as z:
+                assert not any(".opt_state" in k for k in z.files)
+                assert any(k.startswith(".params") for k in z.files)
+        final_meta = ckpt.load_meta(paths[steps[-1]])
+        assert not final_meta.get("params_only")
+        with np.load(paths[steps[-1]]) as z:
+            assert any(".opt_state" in k for k in z.files)
+        # resume discovery: full_only lands on the final checkpoint even
+        # though it is not the only one
+        assert ckpt.latest_checkpoint(cdir, full_only=True) == paths[steps[-1]]
+
+    def test_scoring_and_sweep_read_params_only(self, tmp_path):
+        """Intermediate params-only snapshots serve the classic per-epoch
+        model-selection workflow (query --step / sweep)."""
+        from sert_tpu import pipeline
+        from sert_tpu.data.synthetic import make_synthetic as _ms
+        col = _ms(num_entities=7, vocab_size=200, docs_per_entity=4,
+                  doc_len=50, num_topics=4, seed=0)
+        ds, _ = _prepared_dataset(tmp_path)
+        recipe = pipeline.resolve_model_config(
+            RecipeConfig(name="t", model=MCFG, train=self._tcfg()), ds.meta)
+        out = str(tmp_path / "run")
+        train(recipe, ds, out, deterministic_feed=True)
+        cdir = os.path.join(out, "checkpoints")
+        steps = sorted(ckpt.list_checkpoints(cdir))
+        # load an INTERMEDIATE (params-only) snapshot for scoring
+        params, vocab, registry = pipeline.load_scorer(
+            out, str(tmp_path / "data"), recipe, step=steps[0])
+        assert set(params) == set(
+            jax.device_get(init_state(jax.random.key(0), recipe.model,
+                                      recipe.train).params))
+        # and the full sweep covers every epoch snapshot
+        from sert_tpu.eval.trec import write_qrels, write_topics
+        tpath, qpath = str(tmp_path / "t.txt"), str(tmp_path / "q.txt")
+        write_topics(col.topics, tpath)
+        write_qrels(col.qrels, qpath)
+        res = pipeline.sweep_checkpoints(recipe, str(tmp_path / "data"),
+                                         out, tpath, qpath)
+        assert len(res["per_step"]) == 3
+
+    def test_resume_falls_back_to_newest_full(self, tmp_path):
+        """A crash after a params-only epoch snapshot resumes from the
+        newest FULL checkpoint, not the params-only one."""
+        ds, _ = _prepared_dataset(tmp_path)
+        # occasional mid-run full saves via checkpoint_every_steps
+        tcfg = self._tcfg(checkpoint_every_steps=80)
+        recipe = RecipeConfig(name="t", model=MCFG, train=tcfg)
+        out = str(tmp_path / "run")
+        train(recipe, ds, out, deterministic_feed=True)
+        cdir = os.path.join(out, "checkpoints")
+        # simulate a crash right after the LAST params-only epoch
+        # snapshot: delete everything written later
+        paths = ckpt.list_checkpoints(cdir)
+        cut = max(s for s, p in paths.items()
+                  if ckpt.load_meta(p).get("params_only"))
+        for s, p in paths.items():
+            if s > cut:
+                os.remove(p)
+                os.remove(p[:-4] + ".json")
+        newest = ckpt.latest_checkpoint(cdir)
+        full = ckpt.latest_checkpoint(cdir, full_only=True)
+        assert newest != full
+        assert ckpt.load_meta(newest).get("params_only") is True
+        assert not ckpt.load_meta(full).get("params_only")
+        # resume trains forward from the full checkpoint without error
+        resumed = train(recipe, ds, out, deterministic_feed=True)
+        assert int(resumed.step) > cut
+
+
 class TestResumeVocabGuard:
     def test_resume_rejects_foreign_vocab_hash(self, tmp_path):
         """Resuming over a RE-PREPARED data dir (different vocab hash) must

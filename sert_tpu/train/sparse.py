@@ -68,7 +68,14 @@ def sparse_enabled(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
     if mode == "off":
         return False
     if mode == "auto":
-        return sparse_applicable(model_cfg, train_cfg)
+        # adagrad/sgd lazy updates are BIT-IDENTICAL to dense, so auto
+        # enables them freely. Lazy adam is standard-lazy (untouched rows
+        # skip their momentum decay between visits) — measured on the 1M
+        # hard-mode stress that costs 0.034 NDCG@100 / 0.089 recall@100
+        # for a wall-clock wash (benchmarks/NOTES.md round-3 run3), so
+        # auto keeps adam dense; "on" still forces lazy adam.
+        return (train_cfg.optimizer != "adam"
+                and sparse_applicable(model_cfg, train_cfg))
     if mode == "on":
         if not sparse_applicable(model_cfg, train_cfg):
             raise ValueError(

@@ -116,10 +116,12 @@ class TrainConfig:
     # step (train/sparse.py): gradients are taken w.r.t. the gathered
     # embedding rows and adam/adagrad/sgd update only those rows, so
     # optimizer HBM traffic scales with B + k + B*w visited rows instead
-    # of V + E total rows. "auto" enables it exactly when semantics match
-    # dense (lse + nce/sampled_softmax + adam/adagrad/sgd + no weight
-    # decay + single device); adagrad/sgd are bit-identical to dense,
-    # adam differs only in untouched rows' momentum tail (LazyAdam).
+    # of V + E total rows. "auto" enables it for adagrad/sgd (lazy is
+    # BIT-IDENTICAL to dense there) under lse + nce/sampled_softmax +
+    # no weight decay + single device. adam is excluded from auto:
+    # LazyAdam's skipped momentum decay on untouched rows measured
+    # -0.034 NDCG@100 / -0.089 recall@100 on the 1M hard stress for a
+    # wall-clock wash (NOTES.md round-3 run3) — "on" still forces it.
     sparse_update: str = "auto"     # "auto" | "on" | "off"
     # Optimizer update fused into the dense-softmax backward kernel
     # (train/fused.py): for loglinear / lse_full with adam/adagrad/sgd the

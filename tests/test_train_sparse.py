@@ -61,7 +61,13 @@ def _run(mcfg, tcfg, n_steps, noise=None, seed_key=0):
 
 class TestGating:
     def test_auto_enables_exactly_when_applicable(self):
-        assert sparse_enabled(_cfg(), _tcfg())
+        # adam is EXCLUDED from auto: lazy adam's momentum-tail semantics
+        # measured -0.034 NDCG@100 on the 1M stress (NOTES.md round-3);
+        # adagrad/sgd lazy are bit-exact and stay auto-on.
+        assert not sparse_enabled(_cfg(), _tcfg())          # default adam
+        assert sparse_enabled(_cfg(), _tcfg(optimizer="adagrad"))
+        assert sparse_enabled(_cfg(), _tcfg(optimizer="sgd"))
+        assert sparse_enabled(_cfg(), _tcfg(sparse_update="on"))  # forced
         assert sparse_enabled(_cfg("nce"), _tcfg(optimizer="adagrad"))
         assert not sparse_enabled(_cfg(), _tcfg(sparse_update="off"))
         assert not sparse_enabled(_cfg(), _tcfg(optimizer="adafactor"))
@@ -111,7 +117,8 @@ class TestExactParity:
         # From zero moments an untouched row's dense-adam update is zero
         # too, so step 1 must agree (to reassociation ulps) tree-wide.
         mcfg = _cfg()
-        s_sparse, _ = _run(mcfg, _tcfg(optimizer="adam"), 1)
+        s_sparse, _ = _run(mcfg, _tcfg(optimizer="adam",
+                               sparse_update="on"), 1)
         s_dense, _ = _run(mcfg, _tcfg(optimizer="adam",
                                       sparse_update="off"), 1)
         for k in s_dense.params:
@@ -151,7 +158,7 @@ class TestExactParity:
                                         for k, v in b.items()})
             return state
 
-        s_sparse = run(_tcfg(optimizer="adam"))
+        s_sparse = run(_tcfg(optimizer="adam", sparse_update="on"))
         s_dense = run(_tcfg(optimizer="adam", sparse_update="off"))
         for k in s_dense.params:
             np.testing.assert_allclose(
@@ -197,7 +204,7 @@ class TestExactParity:
 class TestCheckpointRoundtrip:
     def test_save_load_sparse_opt_state(self, tmp_path):
         from sert_tpu.train import checkpoint as ckpt
-        mcfg, tc = _cfg(), _tcfg(optimizer="adam")
+        mcfg, tc = _cfg(), _tcfg(optimizer="adam", sparse_update="on")
         state, _ = _run(mcfg, tc, 2)
         path = ckpt.save_checkpoint(str(tmp_path), int(state.step), state)
         template = init_state(jax.random.key(0), mcfg, tc)
@@ -216,7 +223,8 @@ class TestCheckpointRoundtrip:
 class TestBf16Params:
     def test_bf16_param_training_steps_finite(self):
         mcfg = _cfg(param_dtype="bfloat16", compute_dtype="bfloat16")
-        state, metrics = _run(mcfg, _tcfg(optimizer="adam"), 3)
+        state, metrics = _run(mcfg, _tcfg(optimizer="adam",
+                                  sparse_update="on"), 3)
         assert np.isfinite(float(metrics["loss"]))
         assert state.params["entity_emb"].dtype == jnp.bfloat16
         assert (state.opt_state["rows"]["entity_emb"]["m"].dtype
@@ -233,7 +241,7 @@ class TestCheckpointFlavorCompat:
         from sert_tpu.train import checkpoint as ckpt
         mcfg = _cfg()
         dense_state, _ = _run(mcfg, _tcfg(sparse_update="off"), 1)
-        sparse_state, _ = _run(mcfg, _tcfg(), 1)
+        sparse_state, _ = _run(mcfg, _tcfg(optimizer="adagrad"), 1)
         p_dense = ckpt.save_checkpoint(str(tmp_path / "d"), 1, dense_state)
         p_sparse = ckpt.save_checkpoint(str(tmp_path / "s"), 1, sparse_state)
         assert not ckpt.has_sparse_opt_state(p_dense)
@@ -241,7 +249,9 @@ class TestCheckpointFlavorCompat:
 
     def test_dense_checkpoint_loads_under_auto_config(self, tmp_path):
         from sert_tpu.train import checkpoint as ckpt
-        mcfg, tc_off, tc_auto = _cfg(), _tcfg(sparse_update="off"), _tcfg()
+        mcfg = _cfg()
+        tc_off = _tcfg(optimizer="adagrad", sparse_update="off")
+        tc_auto = _tcfg(optimizer="adagrad")
         state, _ = _run(mcfg, tc_off, 2)
         path = ckpt.save_checkpoint(str(tmp_path), int(state.step), state)
         # The regression premise: the auto-resolved (sparse) template fails.
@@ -281,9 +291,9 @@ class TestCheckpointFlavorCompat:
         ds = InstanceDataset(ddir)
         mcfg = dataclasses.replace(_cfg(), vocab_size=max(
             V, int(ds.meta["vocab_size"])))
-        tc_off = _tcfg(sparse_update="off", num_epochs=1,
-                       checkpoint_every_steps=1, async_checkpoint=False,
-                       batch_size=8)
+        tc_off = _tcfg(optimizer="adagrad", sparse_update="off",
+                       num_epochs=1, checkpoint_every_steps=1,
+                       async_checkpoint=False, batch_size=8)
         out = str(tmp_path / "run")
         train(RecipeConfig(name="t", model=mcfg, train=tc_off), ds, out,
               deterministic_feed=True)
@@ -300,7 +310,7 @@ class TestCheckpointFlavorCompat:
         from sert_tpu.train.loop import train
         from sert_tpu.utils.config import RecipeConfig
         mcfg = _cfg()
-        state, _ = _run(mcfg, _tcfg(), 1)           # sparse flavor
+        state, _ = _run(mcfg, _tcfg(optimizer="adagrad"), 1)  # sparse flavor
         ckpt.save_checkpoint(str(tmp_path / "run" / "checkpoints"), 1, state)
         tc_bad = _tcfg(optimizer="adafactor")       # sparse-inapplicable
         with pytest.raises(ValueError, match="row-sparse optimizer state"):

@@ -37,7 +37,7 @@ from typing import Dict
 import numpy as np
 
 _MAX_BITS = 24          # hi plane must fit uint8
-_KEYS = ("wlo", "elo")  # presence marks a packed batch
+_MAX_WINDOW = 255       # lengths travel as uint8
 
 
 def hi_bits(n: int) -> int:
@@ -68,10 +68,6 @@ def packable(vocab_size: int, num_entities: int) -> bool:
         return False
 
 
-def is_packed(batch: Dict) -> bool:
-    return all(k in batch for k in _KEYS)
-
-
 def _pack_hi_axis(hi: np.ndarray, hb: int) -> np.ndarray:
     """Pack the trailing axis of ``hi`` (< 2**hb values) ``8 // hb`` ids
     per byte. Trailing axis is padded with zeros to a whole byte."""
@@ -92,6 +88,13 @@ def pack_batch(batch: Dict[str, np.ndarray], vocab_size: int,
     windows = np.asarray(batch["windows"])
     entities = np.asarray(batch["entities"])
     lengths = np.asarray(batch["lengths"])
+    if windows.shape[-1] > _MAX_WINDOW:
+        # feed_enabled gates on window size, so reaching here means a
+        # caller bypassed it; failing is mandatory — uint8 lengths would
+        # WRAP (300 -> 44) and silently corrupt the pooling masks.
+        raise ValueError(
+            f"wire packing supports windows up to {_MAX_WINDOW} tokens "
+            f"(uint8 lengths); got {windows.shape[-1]}")
     out = {
         "wlo": (windows & 0xFFFF).astype(np.uint16),
         "elo": (entities & 0xFFFF).astype(np.uint16),
@@ -107,13 +110,17 @@ def pack_batch(batch: Dict[str, np.ndarray], vocab_size: int,
     return out
 
 
-def unpack_batch_jnp(packed: Dict, vocab_size: int, num_entities: int,
-                     window: int) -> Dict:
+def unpack_batch_jnp(packed: Dict, vocab_size: int,
+                     num_entities: int) -> Dict:
     """Device-side (inside jit): packed wire batch -> the standard int32
-    batch dict. Pure shifts/ors — negligible next to the step's matmuls."""
+    batch dict. Pure shifts/ors — negligible next to the step's matmuls.
+    The window width comes from the packed arrays themselves (wlo's last
+    axis), so the unpacker cannot disagree with whatever width the
+    dataset was actually prepared with."""
     import jax.numpy as jnp
 
     wlo = packed["wlo"]
+    window = wlo.shape[-1]
     windows = wlo.astype(jnp.int32)
     hb_w = hi_bits(vocab_size)
     if hb_w:
@@ -138,20 +145,24 @@ def packed_nbytes(batch: Dict[str, np.ndarray]) -> int:
     return sum(np.asarray(v).nbytes for v in batch.values())
 
 
-def feed_enabled(mode: str, vocab_size: int, num_entities: int) -> bool:
+def feed_enabled(mode: str, vocab_size: int, num_entities: int,
+                 window_size: int = 1) -> bool:
     """Resolve TrainConfig.packed_feed for a single-device dense step.
     "on" validates loudly; "auto" requires the TPU backend (the packing
     exists for feed-bandwidth-bound links; CPU test runs opt in
-    explicitly so parity stays covered)."""
+    explicitly so parity stays covered) and both id spaces plus the
+    window width to fit the wire format."""
     if mode == "off":
         return False
-    fits = packable(vocab_size, num_entities)
+    fits = (packable(vocab_size, num_entities)
+            and window_size <= _MAX_WINDOW)
     if mode == "on":
         if not fits:
             raise ValueError(
-                f"packed_feed='on' but an id space exceeds {_MAX_BITS} "
-                f"bits (vocab={vocab_size}, entities={num_entities}); "
-                "use 'off'")
+                f"packed_feed='on' but the geometry exceeds the wire "
+                f"format (vocab={vocab_size}, entities={num_entities} "
+                f"must fit {_MAX_BITS} bits; window_size={window_size} "
+                f"must be <= {_MAX_WINDOW}); use 'off'")
         return True
     if mode != "auto":
         raise ValueError(f"unknown packed_feed mode: {mode!r}")

@@ -179,6 +179,16 @@ def ll_log_normalizer(params, cfg: ModelConfig, term_ids: jax.Array,
     sweep (the non-TPU default; also the fallback for audits)."""
     if engine == "auto":
         engine = "fused" if jax.default_backend() == "tpu" else "scan"
+        if engine == "fused":
+            # The kernel's VMEM budget has a width ceiling
+            # (ops.xent.plain_xent_te raises for dp >= ~2432); auto falls
+            # back to the fixed-memory XLA scan for such models instead
+            # of surfacing a train-knob error from the scoring path.
+            from sert_tpu.ops.xent import _resolve_te as _rt
+            try:
+                _rt(None, params["word_emb"].shape[1])
+            except ValueError:
+                engine = "scan"
     Q, T = term_ids.shape
     if engine == "fused":
         from sert_tpu.ops.xent import _fwd_partials, _prep, _resolve_te

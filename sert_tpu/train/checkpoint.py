@@ -188,7 +188,17 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
     os.replace(tmp, base + ".npz")
     if max_to_keep > 0:
         existing = list_checkpoints(ckpt_dir)
+        # Never evict the NEWEST FULL checkpoint: with params-only epoch
+        # snapshots in the mix, oldest-first pruning could otherwise
+        # delete the run's only resume point.
+        newest_full = None
+        for s in sorted(existing, reverse=True):
+            if not load_meta(existing[s]).get("params_only"):
+                newest_full = s
+                break
         for old_step in sorted(existing)[:-max_to_keep]:
+            if old_step == newest_full:
+                continue
             os.remove(existing[old_step])
             j = existing[old_step][:-len(".npz")] + ".json"
             if os.path.exists(j):
@@ -269,6 +279,12 @@ class AsyncCheckpointer:
                             max_to_keep=max_to_keep, params_only=params_only)
             return
         self.wait()                      # serialize; re-raise prior failure
+        if params_only and hasattr(state, "_replace"):
+            # Don't hold an HBM copy of the optimizer moments (2/3 of an
+            # adam state) for the whole async write when the keep filter
+            # would discard them anyway. keystr paths of .params/.step
+            # are unaffected by emptying the sibling fields.
+            state = state._replace(opt_state=(), rng=None)
         snap = _device_copy(state)
 
         def work() -> None:

@@ -121,13 +121,15 @@ def train(
         # loop-built single-device step packs; injected/sharded steps
         # consume the raw planes their put_fn expects.
         from sert_tpu.data import wirepack
-        if wirepack.feed_enabled(getattr(tcfg, "packed_feed", "off"),
-                                 mcfg.vocab_size, mcfg.num_entities):
-            V, E, w = mcfg.vocab_size, mcfg.num_entities, recipe.data.window_size
+        if put_fn is None and wirepack.feed_enabled(
+                getattr(tcfg, "packed_feed", "off"),
+                mcfg.vocab_size, mcfg.num_entities,
+                recipe.data.window_size):
+            V, E = mcfg.vocab_size, mcfg.num_entities
             base_step = train_step
 
             def _unpack_step(s, pb):
-                return base_step(s, wirepack.unpack_batch_jnp(pb, V, E, w))
+                return base_step(s, wirepack.unpack_batch_jnp(pb, V, E))
 
             train_step = jax.jit(
                 _unpack_step,
@@ -138,6 +140,10 @@ def train(
 
             log.info("packed feed on (vocab=%d entities=%d): id planes "
                      "ship at true bit width", V, E)
+        elif (put_fn is not None
+              and getattr(tcfg, "packed_feed", "off") == "on"):
+            log.warning("packed_feed='on' ignored: the custom put_fn "
+                        "consumes raw batches")
     elif getattr(tcfg, "packed_feed", "off") == "on":
         log.warning("packed_feed='on' ignored: an injected/sharded train "
                     "step consumes raw batches")
@@ -157,6 +163,18 @@ def train(
                           if hasattr(t, "sharding") else np.asarray(x)),
             state.params, new_params)
         state = state._replace(params=new_params)
+    if latest is None and resume:
+        any_ckpt = ckpt.latest_checkpoint(ckpt_dir)
+        if any_ckpt is not None:
+            # epoch_snapshot="params" and a crash before the final epoch:
+            # the dir holds only params-only snapshots, which carry no
+            # optimizer state. Restarting silently would discard the
+            # run's progress without explanation.
+            log.warning(
+                "resume: %s holds only params-only epoch snapshots (no "
+                "full train state) — RESTARTING FROM SCRATCH. Use "
+                "checkpoint_every_steps for mid-run full saves if crash "
+                "recovery matters at this scale.", ckpt_dir)
     if latest is not None:
         state, meta = ckpt.load_checkpoint(latest, state)
         # Resume guard: continuing with embeddings indexed by a DIFFERENT
@@ -240,6 +258,7 @@ def train(
             epoch_losses = []
             last_save_step = -1
             feed_wait = 0.0
+            verify_counter = True
             batch_iter = iter(feeder)
             while True:
                 t_f = time.perf_counter()
@@ -251,6 +270,21 @@ def train(
                 state, metrics = train_step(state, dev_batch)
                 last_cursor = next_cursor
                 step_i += n_micro
+                if verify_counter:
+                    # First call of the epoch: verify the host-tracked
+                    # counter against the device BEFORE any mid-epoch
+                    # checkpoint stamps step ids with it (an injected
+                    # step advancing != 1 per micro-step would otherwise
+                    # write misnamed checkpoints all epoch and only trip
+                    # the boundary assert afterwards). One RTT per epoch.
+                    verify_counter = False
+                    dev = int(state.step)
+                    if dev != step_i:
+                        raise AssertionError(
+                            f"train_step advanced state.step to {dev}, "
+                            f"expected {step_i} (n_micro={n_micro}); the "
+                            "loop's host-tracked counter requires one "
+                            "increment per micro-step")
                 # "crossed a multiple" tests: steps advance n_micro at a time.
                 if (tcfg.log_every_steps
                         and step_i % tcfg.log_every_steps < n_micro):

@@ -258,12 +258,25 @@ class TestVmemPlan:
         # unchecked 128 would just defer to an opaque Mosaic error)...
         with pytest.raises(ValueError, match="VMEM plan"):
             plain_xent_te(4096)
-        # ...and the fused_softmax='auto' gate falls back to the XLA
-        # composition for such models instead of raising.
-        from sert_tpu.models.loglinear import _use_fused
+
+    def test_auto_gate_falls_back_for_wide_models(self, monkeypatch):
+        """fused_softmax='auto' uses the XLA composition when the kernel
+        cannot budget the model width, instead of surfacing the
+        plain_xent_te error. The backend check short-circuits on CPU, so
+        pin it to 'tpu' to reach the width gate."""
+        from sert_tpu.models import loglinear as ll
+        monkeypatch.setattr(ll.jax, "default_backend", lambda: "tpu")
         wide = ModelConfig(model="loglinear", vocab_size=V,
                            num_entities=100_000, word_dim=4096)
-        assert not _use_fused(wide)
+        assert not ll._use_fused(wide)
+        ok = ModelConfig(model="loglinear", vocab_size=V,
+                         num_entities=100_000, word_dim=128)
+        assert ll._use_fused(ok)
+        # lse_full budgets entity_dim, not word_dim
+        wide_lse = ModelConfig(model="lse_full", vocab_size=V,
+                               num_entities=100_000, word_dim=128,
+                               entity_dim=4096)
+        assert not ll._use_fused(wide_lse)
 
     def test_applicability_rejects_oversized_geometry(self):
         mcfg = ModelConfig(model="loglinear", vocab_size=V,

@@ -33,8 +33,7 @@ class TestRoundtrip:
         raw = _batch(rng, V, E)
         packed = wirepack.pack_batch(raw, V, E)
         got = wirepack.unpack_batch_jnp(
-            {k: jnp.asarray(v) for k, v in packed.items()}, V, E,
-            raw["windows"].shape[-1])
+            {k: jnp.asarray(v) for k, v in packed.items()}, V, E)
         for k in raw:
             np.testing.assert_array_equal(np.asarray(got[k]), raw[k], err_msg=k)
 
@@ -49,7 +48,7 @@ class TestRoundtrip:
         }
         packed = wirepack.pack_batch(raw, V, E)
         got = wirepack.unpack_batch_jnp(
-            {k: jnp.asarray(v) for k, v in packed.items()}, V, E, w)
+            {k: jnp.asarray(v) for k, v in packed.items()}, V, E)
         for k in raw:
             np.testing.assert_array_equal(np.asarray(got[k]), raw[k])
 
@@ -61,7 +60,7 @@ class TestRoundtrip:
         raw = _batch(rng, V, E, B=16, w=5, lead=(4,))
         packed = wirepack.pack_batch(raw, V, E)
         got = wirepack.unpack_batch_jnp(
-            {k: jnp.asarray(v) for k, v in packed.items()}, V, E, 5)
+            {k: jnp.asarray(v) for k, v in packed.items()}, V, E)
         for k in raw:
             np.testing.assert_array_equal(np.asarray(got[k]), raw[k])
 
@@ -76,6 +75,16 @@ class TestRoundtrip:
         assert raw_b == B * (4 * w + 8)
         assert got_b <= B * 22
         assert raw_b / got_b > 1.8
+
+    def test_window_cap(self):
+        V, E = 100, 100
+        rng = np.random.default_rng(1)
+        raw = _batch(rng, V, E, B=4, w=300)
+        with pytest.raises(ValueError, match="255"):
+            wirepack.pack_batch(raw, V, E)
+        assert not wirepack.feed_enabled("auto", V, E, window_size=300)
+        with pytest.raises(ValueError, match="packed_feed"):
+            wirepack.feed_enabled("on", V, E, window_size=300)
 
     def test_caps_and_modes(self):
         assert wirepack.hi_bits(65_536) == 0

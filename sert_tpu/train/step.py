@@ -48,8 +48,19 @@ def check_optimizer_model_fit(model_cfg: ModelConfig,
             "a measured quality trap (NDCG 0.46-0.52 vs adam's 0.89 on the "
             "200k stress — factored second-moment statistics mis-scale "
             "sparse negative-sampling updates; benchmarks/NOTES.md). Use "
-            "optimizer='adam' or 'adagrad' for LSE; adafactor fits the "
-            "dense-gradient families (loglinear, lse_full).",
+            "optimizer='adam' for LSE; adafactor fits the dense-gradient "
+            "families (loglinear, lse_full).",
+            UserWarning, stacklevel=3)
+    if (train_cfg.optimizer == "adagrad" and model_cfg.model == "lse"
+            and model_cfg.num_entities >= 100_000):
+        import warnings
+        warnings.warn(
+            "optimizer='adagrad' with LSE degrades with scale and is "
+            "MEASURED chance-level on the 1M-entity stress (loss pinned "
+            "at ln(E) across lr 0.02-0.5, dense and lazy alike, while "
+            "adam trains to NDCG 0.77; tiny-scale adagrad reaches only "
+            "0.79 vs adam's 0.98 — benchmarks/NOTES.md round-3). Use "
+            "optimizer='adam' for LSE at scale.",
             UserWarning, stacklevel=3)
 
 

@@ -91,6 +91,27 @@ class TestStep:
                                 TrainConfig(optimizer=quiet_opt,
                                             donate_state=False))
 
+    def test_adagrad_lse_at_scale_warns(self):
+        # Measured on the 1M stress: adagrad pins LSE at chance (loss =
+        # ln E) across learning rates while adam trains to NDCG 0.77
+        # (benchmarks/NOTES.md round-3). Warn at scale; stay silent for
+        # small collections (tiny-scale adagrad does learn, just worse)
+        # and for the log-linear family where adagrad is the classic fit.
+        import warnings
+        big = ModelConfig(model="lse", vocab_size=50, num_entities=200_000,
+                          word_dim=8, entity_dim=8, num_negatives=3)
+        with pytest.warns(UserWarning, match="adagrad"):
+            make_train_step(big, TrainConfig(optimizer="adagrad",
+                                             donate_state=False))
+        small = big.replace(num_entities=500)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            make_train_step(small, TrainConfig(optimizer="adagrad",
+                                               donate_state=False))
+            make_train_step(MCFG.replace(num_entities=200_000),
+                            TrainConfig(optimizer="adagrad",
+                                        donate_state=False))
+
     def test_lse_step_consumes_rng(self):
         mcfg = ModelConfig(model="lse", vocab_size=50, num_entities=7,
                            word_dim=8, entity_dim=8, num_negatives=3)

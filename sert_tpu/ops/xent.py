@@ -800,3 +800,118 @@ def make_sharded_xent_loss(mesh, layout: str = "de",
         return jnp.sum(mapped(pooled, W, b, labels))
 
     return total_loss
+
+
+def make_sharded_xent_apply(mesh, *, layout: str, opt: str, lr: float,
+                            dtype: str = "float32",
+                            data_axis: str = "data",
+                            model_axis: str = "model",
+                            tb: int = FUSED_TB,
+                            interpret: Optional[bool] = None):
+    """Pure-TP deployment of the optimizer-in-backward kernel: the fused
+    softmax-CE backward applies adam/adagrad/sgd to each shard's W block in
+    place (xent_bwd_apply per shard).
+
+    Requires mesh[data] == 1: with the batch whole on every model shard, the
+    per-shard dW is the COMPLETE gradient slice for the shard's entity
+    columns, so the update can apply locally with no cross-shard reduction.
+    Under data parallelism the per-shard dW would have to psum over ``data``
+    before any update — re-materializing the dW round-trip the fusion exists
+    to remove — which is why that regime keeps the plain sharded loss
+    (make_sharded_xent_loss) + XLA optimizer instead.
+
+    Returns ``fn(pooled, W, b, labels, opt_tree, count)`` with the same
+    result contract as xent_loss_apply: (loss_sum, W_new, opt_tree_new,
+    db_scaled, dpooled_scaled, gsq); W/b/opt_tree sharded over
+    ``model_axis``, pooled/labels replicated (the data axis has size 1),
+    db_scaled comes back sharded over ``model_axis`` and dpooled/loss/gsq
+    replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if mesh.shape[data_axis] != 1:
+        raise ValueError(
+            f"make_sharded_xent_apply needs a pure-TP mesh "
+            f"(data axis of size 1, got {mesh.shape[data_axis]}): under "
+            "data parallelism the per-shard dW must be psummed across "
+            "'data' before any optimizer update, so the in-kernel update "
+            "does not apply — use make_sharded_xent_loss there")
+    ct = _ct(dtype)
+
+    def body(bias_corr, pooled, W_l, b_l, labels, opt_tree_l):
+        ip = _interpret_default() if interpret is None else interpret
+        B, d_orig = pooled.shape
+        Bp_plan = -(-B // tb) * tb
+        dp_plan = max(-(-d_orig // LANES) * LANES, LANES)
+        te = fused_update_te(opt, dp_plan, Bp_plan)
+        if te is None:
+            raise ValueError(
+                f"fused update working set does not fit the VMEM plan at "
+                f"d={d_orig}, B={B} for {opt}; disable fused_update")
+        gscale = 1.0 / B
+        pooled_p, W_k, b_p, labels_p, Bl, El = _prep(
+            pooled, W_l, b_l, labels, layout, tb, te, ct)
+        if W_k.shape != W_l.shape:
+            raise ValueError(
+                f"fused update needs W's non-entity axis LANES-aligned "
+                f"(got local shard {W_l.shape}); pad the dim or disable "
+                "fused_update")
+
+        # Global logsumexp / gold logit: same stitching as the sharded loss.
+        m, s = _fwd_partials(pooled_p, W_k, b_p, tb, te, layout, ip, El, ct)
+        M_l = jnp.max(m, axis=0)
+        S_l = jnp.sum(s * jnp.exp(m - M_l[None, :]), axis=0)
+        g_max = jax.lax.pmax(M_l, model_axis)
+        g_sum = jax.lax.psum(S_l * jnp.exp(M_l - g_max), model_axis)
+        lse = g_max + jnp.log(g_sum)                        # [Bp] GLOBAL
+
+        offset = jax.lax.axis_index(model_axis) * El
+        lab_loc = labels_p - offset
+        in_shard = (lab_loc >= 0) & (lab_loc < El)
+        idx = jnp.clip(lab_loc, 0, El - 1)
+        if layout == "de":
+            w_gold = W_k[:, idx].T
+        else:
+            w_gold = W_k[idx, :]
+        z_gold_l = jnp.where(
+            in_shard,
+            jnp.sum(pooled_p.astype(jnp.float32)
+                    * w_gold.astype(ct).astype(jnp.float32), axis=1)
+            + b_p[0, idx], 0.0)
+        z_gold = jax.lax.psum(z_gold_l, model_axis)         # [Bp] GLOBAL
+
+        row = jnp.arange(pooled_p.shape[0])
+        valid = row < Bl
+        # lse/z_gold are global after the collectives, so the loss is
+        # REPLICATED over the model axis (out_spec P()).
+        loss = jnp.sum(jnp.where(valid, lse - z_gold, 0.0))
+
+        lse_m = jnp.where(valid, lse, 1e30)[:, None]
+        lab_m = jnp.where(valid & in_shard, idx, -1)[:, None]
+        W_new, st_new, db, dpooled, gsq = xent_bwd_apply(
+            pooled_p, W_k, b_p, lse_m, lab_m, e_total=El, layout=layout,
+            opt=opt, opt_tree=opt_tree_l, lr=lr, bias_corr=bias_corr,
+            gscale=gscale, tb=tb, te=te, interpret=ip, ct=ct)
+        db_out = gscale * db[0, :El]                        # local slice
+        dpooled_out = gscale * jax.lax.psum(
+            dpooled[:Bl, :d_orig], model_axis)
+        gsq_g = jax.lax.psum(gsq, model_axis)
+        return loss, W_new, st_new, db_out, dpooled_out, gsq_g
+
+    w_spec = P(None, model_axis) if layout == "de" else P(model_axis, None)
+    st_spec = {"adam": {"m": w_spec, "v": w_spec},
+               "adagrad": {"acc": w_spec}, "sgd": {}}[opt]
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None), P(data_axis, None), w_spec, P(model_axis),
+                  P(data_axis), st_spec),
+        out_specs=(P(), w_spec, st_spec, P(model_axis), P(None, None), P()),
+        check_vma=False,
+    )
+
+    def apply_fn(pooled, W, b, labels, opt_tree, count):
+        t = jnp.asarray(count, jnp.float32) + 1.0
+        bias_corr = jnp.stack([1.0 - 0.9 ** t, 1.0 - 0.999 ** t])[None, :]
+        return mapped(bias_corr, pooled, W, b, labels, opt_tree)
+
+    return apply_fn

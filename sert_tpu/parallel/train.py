@@ -32,6 +32,16 @@ def _want_fused(model_cfg: ModelConfig) -> bool:
 def make_sharded_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
                             mesh: Mesh, noise=None):
     """Returns (train_step, init_fn, put_fn) with mesh shardings applied."""
+    from sert_tpu.train import fused as fused_mod
+    if mesh.size > 1 and fused_mod.fused_tp_enabled(model_cfg, train_cfg,
+                                                    mesh):
+        # Pure-TP mesh (data=1) with fused_update='on': the optimizer
+        # applies inside each shard's backward kernel (dW never reaches
+        # HBM; ops/xent.make_sharded_xent_apply). Checked before the loss
+        # routing below — this step embeds its own shard_map.
+        return _finish(fused_mod.make_fused_train_step(
+            model_cfg, train_cfg, jit=False, mesh=mesh),
+            model_cfg, train_cfg, mesh)
     loss_override = None
     if mesh.size > 1 and _want_fused(model_cfg):
         # pallas_call has no GSPMD partitioning rule, so the single-device
@@ -47,7 +57,13 @@ def make_sharded_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         model_cfg = model_cfg.replace(fused_softmax="off")
     step = make_train_step(model_cfg, train_cfg, noise=noise, jit=False,
                            loss_fn=loss_override)
+    return _finish(step, model_cfg, train_cfg, mesh)
 
+
+def _finish(step, model_cfg: ModelConfig, train_cfg: TrainConfig,
+            mesh: Mesh):
+    """Wrap a pure step in the mesh shardings (state by the entity-axis
+    rule, batch over ``data``) and jit it."""
     def host_init() -> TrainState:
         return init_state(jax.random.key(train_cfg.seed), model_cfg, train_cfg)
 

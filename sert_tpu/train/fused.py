@@ -22,6 +22,15 @@ softmax model (loglinear / lse_full), optimizer in (adam, adagrad, sgd),
 no weight decay, no gradient clipping (the global norm would need dW
 before any update), single device, and a batch small enough that the
 [Bp, dp] dpooled accumulator fits VMEM.
+
+Mesh deployment (``fused_update="on"`` only): on a PURE-TP mesh (data
+axis 1) each model shard's dW is the complete gradient slice for its
+entity columns — the full batch is resident on every shard — so the same
+in-kernel update applies per shard (ops/xent.make_sharded_xent_apply)
+with the entity matrix, bias, and optimizer slots sharded over ``model``.
+Under data parallelism the per-shard dW must psum across ``data`` before
+any update, re-materializing the round-trip the fusion removes, so that
+regime keeps the sharded-loss + XLA-optimizer path (parallel/fused_loss).
 """
 
 from __future__ import annotations
@@ -36,11 +45,11 @@ from sert_tpu.models.common import compute_dtype, masked_mean_embed
 from sert_tpu.utils.config import ModelConfig, TrainConfig
 
 
-def fused_applicable(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
-    """True when the fused-update step exists AND matches the dense step's
-    semantics exactly (see module docstring). Geometry (tile sizes, VMEM
-    plan) comes from ops/xent.py's own constants, so the gate and the
-    kernel cannot drift apart."""
+def _geometry_ok(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
+    """The mesh-independent part of the gate: model family, optimizer menu,
+    no-decay/no-clip semantics, and the kernel's VMEM plan. Geometry (tile
+    sizes, VMEM plan) comes from ops/xent.py's own constants, so the gate
+    and the kernel cannot drift apart."""
     from sert_tpu.ops.xent import FUSED_TB, fused_update_te
     d = (model_cfg.word_dim if model_cfg.model == "loglinear"
          else model_cfg.entity_dim)
@@ -50,10 +59,62 @@ def fused_applicable(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
         and train_cfg.optimizer in ("adam", "adagrad", "sgd")
         and train_cfg.weight_decay == 0.0
         and train_cfg.grad_clip_norm == 0.0
-        and tuple(train_cfg.mesh_shape) == (1, 1)
         and d % 128 == 0
         and fused_update_te(train_cfg.optimizer, d, bp) is not None
     )
+
+
+def fused_applicable(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
+    """True when the SINGLE-DEVICE fused-update step exists AND matches the
+    dense step's semantics exactly (see module docstring)."""
+    return (tuple(train_cfg.mesh_shape) == (1, 1)
+            and _geometry_ok(model_cfg, train_cfg))
+
+
+def fused_tp_applicable(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                        mesh_shape=None) -> bool:
+    """The pure-TP mesh variant: data axis of size 1 (so each model shard's
+    dW is the COMPLETE gradient slice for its entity columns — no cross-
+    shard reduction is owed before the update) and the entity count
+    divisible by the model axis. Under data parallelism the per-shard dW
+    must psum over ``data`` first, re-materializing exactly the HBM
+    round-trip the fusion removes, so the fused update does not apply there
+    (ops/xent.make_sharded_xent_apply docstring)."""
+    dp_, tp_ = (tuple(mesh_shape) if mesh_shape is not None
+                else tuple(train_cfg.mesh_shape))
+    return (dp_ == 1 and tp_ > 1
+            and model_cfg.num_entities % tp_ == 0
+            and _geometry_ok(model_cfg, train_cfg))
+
+
+def fused_tp_enabled(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                     mesh) -> bool:
+    """Gate used by parallel/train.make_sharded_train_step. ``auto`` stays
+    off on meshes: the single-device measurements (NOTES.md round-3) do not
+    transfer to multi-chip, and only ``on`` opts into the parity-tested
+    pure-TP deployment."""
+    mode = getattr(train_cfg, "fused_update", "auto")
+    if mode in ("off", "auto"):
+        return False
+    if mode != "on":
+        raise ValueError(f"unknown fused_update mode: {mode!r}")
+    shape = (mesh.shape.get("data", 1), mesh.shape.get("model", 1))
+    if fused_tp_applicable(model_cfg, train_cfg, mesh_shape=shape):
+        return True
+    raise ValueError(
+        "fused_update='on' on a mesh requires a pure-TP layout (data axis "
+        "of size 1 — under data parallelism dW must psum across 'data' "
+        "before any update, so the in-kernel update cannot apply), "
+        "num_entities divisible by the model axis, model in (loglinear, "
+        "lse_full), optimizer in (adam, adagrad, sgd), weight_decay=0, "
+        "grad_clip_norm=0, word/entity dim a multiple of 128, and a "
+        "working set inside the VMEM plan; got "
+        f"mesh={shape} model={model_cfg.model!r} "
+        f"optimizer={train_cfg.optimizer!r} "
+        f"E={model_cfg.num_entities} "
+        f"weight_decay={train_cfg.weight_decay} "
+        f"grad_clip_norm={train_cfg.grad_clip_norm} "
+        f"batch={train_cfg.batch_size}")
 
 
 def fused_enabled(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
@@ -163,15 +224,28 @@ def _merge_state(optimizer: str, opt_state, sub_state,
 
 def make_fused_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
                           noise: Optional[jax.Array] = None,
-                          jit: bool = True):
+                          jit: bool = True, mesh=None):
     """Build the fused-update train step (same contract as
-    train.step.make_train_step, including steps_per_call scanning)."""
-    from sert_tpu.ops.xent import xent_loss_apply
+    train.step.make_train_step, including steps_per_call scanning).
+
+    With ``mesh`` (a pure-TP jax.sharding.Mesh, data axis 1) the entity
+    matrix, its optimizer slots, and the bias live sharded over ``model``
+    and the update applies per shard (ops/xent.make_sharded_xent_apply);
+    parallel/train.make_sharded_train_step routes here when
+    ``fused_tp_enabled`` says so and wraps the result in the standard
+    state shardings."""
+    from sert_tpu.ops.xent import make_sharded_xent_apply, xent_loss_apply
     from sert_tpu.train.step import TrainState, make_optimizer
 
-    if not fused_applicable(model_cfg, train_cfg):
-        raise ValueError("fused step built for an inapplicable config; "
-                         "see fused_applicable")
+    if mesh is None:
+        if not fused_applicable(model_cfg, train_cfg):
+            raise ValueError("fused step built for an inapplicable config; "
+                             "see fused_applicable")
+    else:
+        shape = (mesh.shape.get("data", 1), mesh.shape.get("model", 1))
+        if not fused_tp_applicable(model_cfg, train_cfg, mesh_shape=shape):
+            raise ValueError("mesh fused step built for an inapplicable "
+                             "config; see fused_tp_applicable")
     del noise  # full softmax: no sampling
     cfg, opt_name, lr = model_cfg, train_cfg.optimizer, train_cfg.learning_rate
     opt = make_optimizer(train_cfg)      # the stock transform (small leaves)
@@ -179,6 +253,11 @@ def make_fused_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
     mat_key = "proj_w" if loglin else "entity_emb"
     layout = "de" if loglin else "ed"
     ct = compute_dtype(cfg)
+    sharded_apply = None
+    if mesh is not None:
+        sharded_apply = make_sharded_xent_apply(
+            mesh, layout=layout, opt=opt_name, lr=lr,
+            dtype=cfg.compute_dtype)
 
     def step(state: TrainState, batch: Dict[str, jax.Array]
              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -208,12 +287,17 @@ def make_fused_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
             bias = jnp.zeros((cfg.num_entities,), jnp.float32)
 
         pooled, head_vjp = jax.vjp(head, *head_in)
-        loss_sum, W_new, st_new, db, dpooled, gsq = xent_loss_apply(
-            pooled, params[mat_key], bias, batch["entities"],
-            opt=opt_name, opt_tree=_opt_tree_of(opt_name, opt_state,
-                                                mat_key),
-            lr=lr, count=count, gscale=1.0 / B, layout=layout,
-            dtype=cfg.compute_dtype)
+        opt_tree = _opt_tree_of(opt_name, opt_state, mat_key)
+        if sharded_apply is not None:
+            loss_sum, W_new, st_new, db, dpooled, gsq = sharded_apply(
+                pooled, params[mat_key], bias, batch["entities"],
+                opt_tree, count)
+        else:
+            loss_sum, W_new, st_new, db, dpooled, gsq = xent_loss_apply(
+                pooled, params[mat_key], bias, batch["entities"],
+                opt=opt_name, opt_tree=opt_tree,
+                lr=lr, count=count, gscale=1.0 / B, layout=layout,
+                dtype=cfg.compute_dtype)
         head_grads = head_vjp(dpooled)
 
         if loglin:

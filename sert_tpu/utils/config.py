@@ -131,8 +131,14 @@ class TrainConfig:
     # adam's extra m/v streams shrink the entity tile; NOTES.md round-3),
     # so "auto" enables it exactly when semantics match the dense step
     # (no clipping/decay, single device) AND optimizer == sgd. "on"
-    # forces it for any applicable optimizer. The optax state layout is
-    # UNCHANGED, so checkpoints interoperate with fused_update on or off.
+    # forces it for any applicable optimizer, including on a PURE-TP mesh
+    # (data axis 1, entity count divisible by the model axis): each
+    # shard's dW is then the complete gradient slice for its entity
+    # columns and the update applies per shard with no cross-shard
+    # reduction (ops/xent.make_sharded_xent_apply; under data parallelism
+    # dW must psum over 'data' first, so the fusion does not apply and
+    # "on" errors). The optax state layout is UNCHANGED, so checkpoints
+    # interoperate with fused_update on or off.
     fused_update: str = "auto"      # "auto" | "on" | "off"
     # Wire-format packing of the host->device feed (data/wirepack.py):
     # batch id planes travel at their true bit width (uint16 lo + packed

@@ -152,7 +152,7 @@ class TestFusedTrainOnMesh:
         spec = state.params["proj_w"].sharding.spec
         assert spec == jax.sharding.PartitionSpec(None, "model")
 
-    def test_sampled_lse_rejects_fused(self):
+    def test_sampled_lse_rejects_fused_loss(self):
         from sert_tpu.parallel.fused_loss import make_sharded_fused_loss
         cfg = ModelConfig(model="lse", vocab_size=V, num_entities=E,
                           word_dim=8, entity_dim=8)
@@ -165,3 +165,93 @@ class TestFusedTrainOnMesh:
                           word_dim=8, fused_softmax="on")
         with pytest.raises(ValueError, match="divide"):
             make_sharded_fused_loss(cfg, make_mesh((2, 4)))
+
+
+class TestFusedUpdateOnPureTPMesh:
+    """fused_update='on' on a data=1 mesh: the optimizer applies inside
+    each shard's backward kernel (ops/xent.make_sharded_xent_apply) — the
+    per-shard dW is the complete gradient slice for the shard's entity
+    columns, so no cross-shard reduction precedes the update. Parity
+    target: the sharded DENSE step (GSPMD loss + XLA optax) on the same
+    mesh. Tolerances per the single-device fused-step contract
+    (tests/test_train_fused.py): sgd/adagrad to reassociation, adam
+    amplifies tile-width reassociation near v~0."""
+
+    D128 = 128  # the fused-update kernel requires dim % 128 == 0
+
+    def _run(self, model, optn, mesh_shape, fu, n=3):
+        mesh = make_mesh(mesh_shape)
+        cfg = ModelConfig(model=model, vocab_size=V, num_entities=E,
+                          word_dim=(self.D128 if model == "loglinear"
+                                    else 64),
+                          entity_dim=self.D128, fused_softmax="off")
+        tcfg = TrainConfig(batch_size=16, learning_rate=0.05,
+                           optimizer=optn, donate_state=False,
+                           mesh_shape=mesh_shape, fused_update=fu)
+        step, init_fn, put_fn = make_sharded_train_step(cfg, tcfg, mesh)
+        state = init_fn()
+        for i in range(n):
+            state, metrics = step(state, put_fn(_batch(i)))
+        return (jax.device_get(state.params), state, metrics)
+
+    @pytest.mark.parametrize("optn,tol", [
+        ("sgd", 1e-7),
+        pytest.param("adam", 1e-4, marks=pytest.mark.slow),
+        pytest.param("adagrad", 1e-6, marks=pytest.mark.slow),
+    ])
+    def test_matches_dense_sharded_step_loglinear(self, optn, tol):
+        p_on, state, m_on = self._run("loglinear", optn, (1, 8), "on")
+        p_off, _, m_off = self._run("loglinear", optn, (1, 8), "off")
+        for k in p_on:
+            np.testing.assert_allclose(np.asarray(p_on[k]),
+                                       np.asarray(p_off[k]),
+                                       rtol=tol, atol=tol, err_msg=k)
+        np.testing.assert_allclose(float(m_on["loss"]),
+                                   float(m_off["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(float(m_on["grad_norm"]),
+                                   float(m_off["grad_norm"]), rtol=1e-4)
+        # params and optimizer slots stay sharded over the model axis
+        assert (state.params["proj_w"].sharding.spec
+                == jax.sharding.PartitionSpec(None, "model"))
+        if optn == "adam":
+            assert (state.opt_state[0].mu["proj_w"].sharding.spec
+                    == jax.sharding.PartitionSpec(None, "model"))
+
+    def test_matches_dense_sharded_step_lse_full(self):
+        p_on, state, _ = self._run("lse_full", "adam", (1, 4), "on")
+        p_off, _, _ = self._run("lse_full", "adam", (1, 4), "off")
+        for k in p_on:
+            np.testing.assert_allclose(
+                np.asarray(p_on[k], np.float32),
+                np.asarray(p_off[k], np.float32),
+                rtol=1e-4, atol=1e-4, err_msg=k)
+        assert (state.params["entity_emb"].sharding.spec
+                == jax.sharding.PartitionSpec("model", None))
+
+    def test_gating(self):
+        from sert_tpu.train.fused import (fused_tp_applicable,
+                                          fused_tp_enabled)
+        cfg = ModelConfig(model="loglinear", vocab_size=V, num_entities=E,
+                          word_dim=self.D128)
+        # 'on' + data parallelism: loud error, not a silent fallback
+        with pytest.raises(ValueError, match="pure-TP"):
+            fused_tp_enabled(cfg, TrainConfig(batch_size=16,
+                                              fused_update="on",
+                                              mesh_shape=(2, 4)),
+                             make_mesh((2, 4)))
+        # 'auto' stays off on meshes (single-device measurements do not
+        # transfer; only 'on' opts in)
+        assert not fused_tp_enabled(cfg, TrainConfig(batch_size=16),
+                                    make_mesh((1, 8)))
+        assert fused_tp_applicable(cfg, TrainConfig(batch_size=16),
+                                   mesh_shape=(1, 8))
+        # entity count must divide the model axis
+        assert not fused_tp_applicable(
+            ModelConfig(model="loglinear", vocab_size=V, num_entities=63,
+                        word_dim=self.D128),
+            TrainConfig(batch_size=16), mesh_shape=(1, 8))
+        # sampled LSE has no entity-wide softmax to fuse
+        assert not fused_tp_applicable(
+            ModelConfig(model="lse", vocab_size=V, num_entities=E,
+                        word_dim=self.D128, entity_dim=self.D128),
+            TrainConfig(batch_size=16), mesh_shape=(1, 8))

@@ -686,6 +686,38 @@ def xent_loss_apply(pooled, W, b, labels, *, opt, opt_tree, lr, count,
 # fp32 reduction order (grad-parity tested on the fake 8-device mesh).
 
 
+def _shard_fwd_stitch(pooled_p, W_k, b_p, labels_p, tb, te, layout, ip, El,
+                      ct, model_axis):
+    """Per-shard forward stitching shared by the sharded loss and apply
+    paths: local tile partials -> global logsumexp via pmax/psum over the
+    ``model`` axis, plus the gold logit contributed only by the shard
+    owning the label column and psummed global. Returns
+    ``(lse, z_gold, in_shard, idx)`` with lse/z_gold GLOBAL [Bp] and
+    in_shard/idx local to this shard."""
+    m, s = _fwd_partials(pooled_p, W_k, b_p, tb, te, layout, ip, El, ct)
+    M_l = jnp.max(m, axis=0)                            # [Bp] local max
+    S_l = jnp.sum(s * jnp.exp(m - M_l[None, :]), axis=0)
+    g_max = jax.lax.pmax(M_l, model_axis)
+    g_sum = jax.lax.psum(S_l * jnp.exp(M_l - g_max), model_axis)
+    lse = g_max + jnp.log(g_sum)                        # [Bp] GLOBAL
+
+    offset = jax.lax.axis_index(model_axis) * El
+    lab_loc = labels_p - offset
+    in_shard = (lab_loc >= 0) & (lab_loc < El)
+    idx = jnp.clip(lab_loc, 0, El - 1)
+    if layout == "de":
+        w_gold = W_k[:, idx].T                          # [Bp, dp]
+    else:
+        w_gold = W_k[idx, :]
+    z_gold_l = jnp.where(
+        in_shard,
+        jnp.sum(pooled_p.astype(jnp.float32)
+                * w_gold.astype(ct).astype(jnp.float32), axis=1)
+        + b_p[0, idx], 0.0)
+    z_gold = jax.lax.psum(z_gold_l, model_axis)         # [Bp] GLOBAL
+    return lse, z_gold, in_shard, idx
+
+
 def make_sharded_xent_loss(mesh, layout: str = "de",
                            data_axis: str = "data",
                            model_axis: str = "model",
@@ -728,28 +760,9 @@ def make_sharded_xent_loss(mesh, layout: str = "de",
         pooled_p, W_k, b_p, labels_p, Bl, El = _prep(
             pooled_l, W_l, b_l, labels_l, layout, tb, te_r, ct)
 
-        m, s = _fwd_partials(pooled_p, W_k, b_p, tb, te_r, layout, ip, El,
-                             ct)
-        M_l = jnp.max(m, axis=0)                            # [Bp] local max
-        S_l = jnp.sum(s * jnp.exp(m - M_l[None, :]), axis=0)
-        g_max = jax.lax.pmax(M_l, model_axis)
-        g_sum = jax.lax.psum(S_l * jnp.exp(M_l - g_max), model_axis)
-        lse = g_max + jnp.log(g_sum)                        # [Bp] GLOBAL
-
-        offset = jax.lax.axis_index(model_axis) * El
-        lab_loc = labels_p - offset
-        in_shard = (lab_loc >= 0) & (lab_loc < El)
-        idx = jnp.clip(lab_loc, 0, El - 1)
-        if layout == "de":
-            w_gold = W_k[:, idx].T                          # [Bp, dp]
-        else:
-            w_gold = W_k[idx, :]
-        z_gold_l = jnp.where(
-            in_shard,
-            jnp.sum(pooled_p.astype(jnp.float32)
-                    * w_gold.astype(ct).astype(jnp.float32), axis=1)
-            + b_p[0, idx], 0.0)
-        z_gold = jax.lax.psum(z_gold_l, model_axis)         # [Bp] GLOBAL
+        lse, z_gold, in_shard, idx = _shard_fwd_stitch(
+            pooled_p, W_k, b_p, labels_p, tb, te_r, layout, ip, El, ct,
+            model_axis)
 
         row = jnp.arange(pooled_p.shape[0])
         valid = row < Bl
@@ -829,6 +842,11 @@ def make_sharded_xent_apply(mesh, *, layout: str, opt: str, lr: float,
     """
     from jax.sharding import PartitionSpec as P
 
+    if mesh.shape.get(data_axis) is None:
+        raise ValueError(
+            f"make_sharded_xent_apply: mesh {tuple(mesh.shape)} has no "
+            f"'{data_axis}' axis; pass data_axis= matching the mesh (the "
+            "fused_tp_enabled gate treats a missing axis as size 1)")
     if mesh.shape[data_axis] != 1:
         raise ValueError(
             f"make_sharded_xent_apply needs a pure-TP mesh "
@@ -858,27 +876,9 @@ def make_sharded_xent_apply(mesh, *, layout: str, opt: str, lr: float,
                 "fused_update")
 
         # Global logsumexp / gold logit: same stitching as the sharded loss.
-        m, s = _fwd_partials(pooled_p, W_k, b_p, tb, te, layout, ip, El, ct)
-        M_l = jnp.max(m, axis=0)
-        S_l = jnp.sum(s * jnp.exp(m - M_l[None, :]), axis=0)
-        g_max = jax.lax.pmax(M_l, model_axis)
-        g_sum = jax.lax.psum(S_l * jnp.exp(M_l - g_max), model_axis)
-        lse = g_max + jnp.log(g_sum)                        # [Bp] GLOBAL
-
-        offset = jax.lax.axis_index(model_axis) * El
-        lab_loc = labels_p - offset
-        in_shard = (lab_loc >= 0) & (lab_loc < El)
-        idx = jnp.clip(lab_loc, 0, El - 1)
-        if layout == "de":
-            w_gold = W_k[:, idx].T
-        else:
-            w_gold = W_k[idx, :]
-        z_gold_l = jnp.where(
-            in_shard,
-            jnp.sum(pooled_p.astype(jnp.float32)
-                    * w_gold.astype(ct).astype(jnp.float32), axis=1)
-            + b_p[0, idx], 0.0)
-        z_gold = jax.lax.psum(z_gold_l, model_axis)         # [Bp] GLOBAL
+        lse, z_gold, in_shard, idx = _shard_fwd_stitch(
+            pooled_p, W_k, b_p, labels_p, tb, te, layout, ip, El, ct,
+            model_axis)
 
         row = jnp.arange(pooled_p.shape[0])
         valid = row < Bl

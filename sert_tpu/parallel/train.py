@@ -21,12 +21,13 @@ from sert_tpu.utils.config import ModelConfig, TrainConfig
 def _want_fused(model_cfg: ModelConfig) -> bool:
     if model_cfg.model not in ("loglinear", "lse_full"):
         return False  # LSE's sampled objective has no entity-wide softmax
-    if model_cfg.fused_softmax == "on":
-        return True
-    if model_cfg.fused_softmax == "off":
-        return False
-    # "auto": same policy as the single-device dispatch (loglinear._use_fused)
-    return model_cfg.num_entities >= 4096 and jax.default_backend() == "tpu"
+    # ONE policy for on/off/auto, shared with the single-device dispatch
+    # (models.loglinear._use_fused): "auto" requires E >= 4096, a TPU
+    # backend, AND a VMEM-plan-feasible kernel tile at this model width —
+    # very wide models fall back to the XLA composition on the mesh exactly
+    # like they do single-device, instead of raising at trace time.
+    from sert_tpu.models.loglinear import _use_fused
+    return _use_fused(model_cfg)
 
 
 def make_sharded_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,

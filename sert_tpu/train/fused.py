@@ -59,6 +59,11 @@ def _geometry_ok(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
         and train_cfg.optimizer in ("adam", "adagrad", "sgd")
         and train_cfg.weight_decay == 0.0
         and train_cfg.grad_clip_norm == 0.0
+        # the kernel bakes a FIXED lr into the update arithmetic; any
+        # schedule or warmup keeps the XLA optimizer (which threads the
+        # optax schedule through its own count state)
+        and getattr(train_cfg, "lr_schedule", "constant") == "constant"
+        and getattr(train_cfg, "lr_warmup_steps", 0) == 0
         and d % 128 == 0
         and fused_update_te(train_cfg.optimizer, d, bp) is not None
     )
@@ -107,7 +112,8 @@ def fused_tp_enabled(model_cfg: ModelConfig, train_cfg: TrainConfig,
         "before any update, so the in-kernel update cannot apply), "
         "num_entities divisible by the model axis, model in (loglinear, "
         "lse_full), optimizer in (adam, adagrad, sgd), weight_decay=0, "
-        "grad_clip_norm=0, word/entity dim a multiple of 128, and a "
+        "grad_clip_norm=0, a constant lr (no schedule/warmup), word/entity "
+        "dim a multiple of 128, and a "
         "working set inside the VMEM plan; got "
         f"mesh={shape} model={model_cfg.model!r} "
         f"optimizer={train_cfg.optimizer!r} "
@@ -140,7 +146,9 @@ def fused_enabled(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
             raise ValueError(
                 "fused_update='on' requires model in (loglinear, lse_full), "
                 "optimizer in (adam, adagrad, sgd), weight_decay=0, "
-                "grad_clip_norm=0, mesh_shape=(1, 1), word/entity dim a "
+                "grad_clip_norm=0, a constant lr (no schedule/warmup — the "
+                "kernel bakes a fixed lr), mesh_shape=(1, 1), word/entity "
+                "dim a "
                 "multiple of 128, and a kernel working set that fits the "
                 "VMEM plan (ops/xent.fused_update_te: streamed W/state "
                 "tiles + the [batch, dim] dpooled accumulator); got "

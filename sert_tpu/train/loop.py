@@ -86,6 +86,19 @@ def train(
                 "state in %s (config resolved to %r)",
                 tcfg.sparse_update, latest, "on" if cfg_sparse else "off")
 
+    if (getattr(tcfg, "lr_schedule", "constant") != "constant"
+            and getattr(tcfg, "lr_decay_steps", 0) <= 0):
+        # Fill the decay horizon with the run's total step count. Resume
+        # recomputes the identical value from the same dataset/config, so
+        # the schedule a resumed run continues is the one it started with.
+        from dataclasses import replace as _dc_replace
+        horizon = max(
+            tcfg.num_epochs * dataset.num_batches_per_epoch(tcfg.batch_size),
+            1)
+        tcfg = _dc_replace(tcfg, lr_decay_steps=horizon)
+        log.info("lr_schedule=%s: decay horizon filled to %d steps",
+                 tcfg.lr_schedule, horizon)
+
     noise = None
     if mcfg.model == "lse":
         noise = lse_model.noise_logits(

@@ -231,11 +231,16 @@ def init_sparse_opt_state(params, train_cfg: TrainConfig) -> Dict:
 def _dense_opt(train_cfg: TrainConfig) -> optax.GradientTransformation:
     # Bare optimizer: global-norm clipping is applied manually (the norm
     # must include the row grads), weight decay is rejected upstream.
+    # make_lr threads any schedule through optax for the dense leaves;
+    # the row path evaluates the same schedule at state.step (the counts
+    # align — both count completed updates).
+    from sert_tpu.train.step import make_lr
+    lr = make_lr(train_cfg)
     if train_cfg.optimizer == "adam":
-        return optax.adam(train_cfg.learning_rate)
+        return optax.adam(lr)
     if train_cfg.optimizer == "adagrad":
-        return optax.adagrad(train_cfg.learning_rate)
-    return optax.sgd(train_cfg.learning_rate)
+        return optax.adagrad(lr)
+    return optax.sgd(lr)
 
 
 def make_sparse_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
@@ -250,7 +255,8 @@ def make_sparse_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
                          "see sparse_applicable")
     opt = _dense_opt(train_cfg)
     cfg = model_cfg
-    lr = train_cfg.learning_rate
+    from sert_tpu.train.step import make_lr
+    lr_of = make_lr(train_cfg)   # float (constant) or schedule(step) -> lr
     E, V = cfg.num_entities, cfg.vocab_size
 
     def step(state: TrainState, batch):
@@ -311,6 +317,11 @@ def make_sparse_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         dense_new = optax.apply_updates(dense_p, upd)
 
         t = state.step + 1                      # optax count_inc semantics
+        # Schedule value for THIS update: optax's scale_by_schedule reads
+        # its count before incrementing, i.e. the completed-update index =
+        # state.step — the row path evaluates at the same point.
+        lr = (lr_of(state.step).astype(jnp.float32)
+              if callable(lr_of) else lr_of)
         rows = state.opt_state["rows"]
         word_new, rw = _row_update(train_cfg.optimizer, params["word_emb"],
                                    rows["word_emb"], ids_w, gw_u, lr, t)

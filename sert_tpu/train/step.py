@@ -64,16 +64,52 @@ def check_optimizer_model_fit(model_cfg: ModelConfig,
             UserWarning, stacklevel=3)
 
 
+def make_lr(cfg: TrainConfig):
+    """The learning rate as optax consumes it: a float for the constant
+    no-warmup case (reference semantics), else a schedule callable
+    step_index -> lr. Peak is ``learning_rate``; see TrainConfig for the
+    schedule/warmup/horizon fields. Kept separate from make_optimizer so
+    the row-sparse lazy step can evaluate the SAME schedule at
+    ``state.step`` (optax's count and state.step both count completed
+    updates, so the values align exactly)."""
+    peak, w = cfg.learning_rate, cfg.lr_warmup_steps
+    if cfg.lr_schedule == "constant":
+        if w <= 0:
+            return peak
+        return optax.schedules.join_schedules(
+            [optax.schedules.linear_schedule(0.0, peak, w),
+             optax.schedules.constant_schedule(peak)], [w])
+    if cfg.lr_schedule not in ("cosine", "linear"):
+        raise ValueError(f"unknown lr_schedule: {cfg.lr_schedule!r}")
+    total = cfg.lr_decay_steps
+    if total <= 0:
+        raise ValueError(
+            f"lr_schedule={cfg.lr_schedule!r} needs lr_decay_steps > 0; "
+            "the train loop fills it from num_epochs x batches/epoch — set "
+            "it explicitly when building a step outside the loop")
+    end = cfg.lr_final_fraction * peak
+    if cfg.lr_schedule == "cosine":
+        return optax.schedules.warmup_cosine_decay_schedule(
+            init_value=0.0 if w > 0 else peak, peak_value=peak,
+            warmup_steps=w, decay_steps=total, end_value=end)
+    decay = optax.schedules.linear_schedule(peak, end, max(total - w, 1))
+    if w <= 0:
+        return decay
+    return optax.schedules.join_schedules(
+        [optax.schedules.linear_schedule(0.0, peak, w), decay], [w])
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """adagrad / adam / sgd — the reference's optimizer menu (SURVEY.md
     section 3.1 'Optimizers'), plus optional global-norm clipping and
     decoupled weight decay."""
+    lr = make_lr(cfg)
     if cfg.optimizer == "adam":
-        opt = optax.adam(cfg.learning_rate)
+        opt = optax.adam(lr)
     elif cfg.optimizer == "adagrad":
-        opt = optax.adagrad(cfg.learning_rate)
+        opt = optax.adagrad(lr)
     elif cfg.optimizer == "sgd":
-        opt = optax.sgd(cfg.learning_rate)
+        opt = optax.sgd(lr)
     elif cfg.optimizer == "adafactor":
         # TPU-native large-E option beyond the reference's adam/adagrad menu:
         # the second moment of the [d, E] matrices is stored FACTORED
@@ -81,7 +117,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         # HBM traffic per step is O(d + E) instead of O(d * E) — measured
         # ~2 ms/step cheaper than adam at E=500k (benchmarks/NOTES.md).
         # Momentum stays off (adafactor default) to keep state O(d + E).
-        opt = optax.adafactor(cfg.learning_rate,
+        opt = optax.adafactor(lr,
                               # SERT-style fixed lr semantics: disable the
                               # relative-scale/update-clipping extras so lr
                               # sweeps behave like the other optimizers.
@@ -106,6 +142,15 @@ def init_state(rng: jax.Array, model_cfg: ModelConfig,
     templates always match the file on disk (checkpoints written before the
     sparse path existed hold dense optax state even for configs that now
     resolve to sparse, and vice versa)."""
+    if (getattr(train_cfg, "lr_schedule", "constant") != "constant"
+            and train_cfg.lr_decay_steps <= 0):
+        # State CONSTRUCTION never evaluates the schedule (optax init only
+        # allocates the count leaf), so loaders building shape templates
+        # from a recipe whose horizon the train loop fills lazily must not
+        # trip make_lr's horizon check here.
+        import dataclasses
+        train_cfg = dataclasses.replace(
+            train_cfg, lr_decay_steps=train_cfg.lr_warmup_steps + 1)
     k_params, k_train = jax.random.split(rng)
     params = api.init_params(k_params, model_cfg)
     from sert_tpu.train import sparse

@@ -95,6 +95,22 @@ class TrainConfig:
     num_epochs: int = 5
     optimizer: str = "adam"         # see class docstring for the menu
     learning_rate: float = 1e-3
+    # Learning-rate schedule on top of ``learning_rate`` (the peak value).
+    # "constant" is the reference's semantics (SURVEY.md section 3.1 fixed
+    # lr per run); "cosine"/"linear" decay from the peak to
+    # lr_final_fraction * peak over lr_decay_steps, after an optional
+    # linear warmup from 0 over lr_warmup_steps. lr_decay_steps=0 lets the
+    # training loop fill the horizon with the run's total step count
+    # (num_epochs x batches/epoch); building a step directly with a decay
+    # schedule requires it explicitly. Schedules thread through optax (the
+    # opt state gains the schedule's count leaf) AND the row-sparse lazy
+    # step (lr evaluated at state.step, identical arithmetic); the fused
+    # optimizer-in-backward kernel bakes a fixed lr, so any non-constant
+    # schedule or warmup keeps fused_update off.
+    lr_schedule: str = "constant"   # "constant" | "cosine" | "linear"
+    lr_warmup_steps: int = 0
+    lr_decay_steps: int = 0         # 0 = loop fills num_epochs*batches/epoch
+    lr_final_fraction: float = 0.0  # end lr = fraction * learning_rate
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0     # 0 disables clipping
     checkpoint_every_steps: int = 0  # 0 = per-epoch only

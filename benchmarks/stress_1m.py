@@ -33,10 +33,12 @@ import time
 import numpy as np
 
 
-def build_recipe(E, vocab_size):
+def build_recipe(E, vocab_size, epochs=3, lr_schedule="constant"):
     from sert_tpu.utils.config import (DataConfig, ModelConfig, RecipeConfig,
                                        ScoreConfig, TrainConfig)
     dcfg = DataConfig(window_size=8, vocab_min_count=1, vocab_max_size=300_000)
+    sched = ({} if lr_schedule == "constant"
+             else dict(lr_schedule=lr_schedule, lr_final_fraction=0.05))
     return RecipeConfig(
         name="stress1m",
         data=dcfg,
@@ -52,16 +54,26 @@ def build_recipe(E, vocab_size):
         # epoch_snapshot="params": the run's per-epoch dumps carry params
         # only (the reference's own format) — the 1.9 GB adam full-state
         # fetch per epoch drops to 0.65 GB on a host link that moves
-        # ~5.6 MB/s (the final epoch still writes full state).
+        # ~5.6 MB/s (the final epoch still writes full state). The same
+        # snapshots feed --score-snapshots' epochs-vs-quality curve.
         # packed_feed defaults to auto (on for this geometry): batches
         # ship at 22 bytes/instance instead of 40 (data/wirepack.py).
-        train=TrainConfig(batch_size=4096, num_epochs=3, optimizer="adam",
+        train=TrainConfig(batch_size=4096, num_epochs=epochs,
+                          optimizer="adam",
                           learning_rate=3e-3, steps_per_call=4,
-                          log_every_steps=200, epoch_snapshot="params"),
-        score=ScoreConfig(top_k=100, similarity="cosine", engine="pallas"))
+                          log_every_steps=200, epoch_snapshot="params",
+                          **sched),
+        # top_k=1000: recall@1000 is BASELINE.json's headline metric; the
+        # SMEM-chunked bin path was proven at 10M and this makes depth-1000
+        # the tested path at the 1M flagship scale too (round-3 VERDICT #1).
+        score=ScoreConfig(top_k=1000, similarity="cosine", engine="pallas"))
 
 
-def run_pipeline(workdir, E, run_name="run"):
+_METRICS = ("ndcg@100", "recip_rank", "recall@100", "recall@1000", "p@5")
+
+
+def run_pipeline(workdir, E, run_name="run", epochs=3,
+                 lr_schedule="constant"):
     from sert_tpu import pipeline
     from sert_tpu.data import Associations, EntityRegistry, Vocabulary
     from sert_tpu.data.prepare import encode_queries, prepare
@@ -78,7 +90,7 @@ def run_pipeline(workdir, E, run_name="run"):
 
     reg = EntityRegistry(col.entities)
     ddir = os.path.join(workdir, "data")
-    recipe = build_recipe(E, 0)
+    recipe = build_recipe(E, 0, epochs=epochs, lr_schedule=lr_schedule)
     if os.path.exists(os.path.join(ddir, "instances.meta.json")):
         print("prepare: reusing existing data dir", flush=True)
     else:
@@ -106,12 +118,66 @@ def run_pipeline(workdir, E, run_name="run"):
     t0 = time.time()
     run = score_topics(state.params, recipe.model, encoded, reg.names,
                        recipe.score)
-    print(f"score {time.time()-t0:.1f}s (200 topics x {E})", flush=True)
+    print(f"score {time.time()-t0:.1f}s (200 topics x {E} at "
+          f"k={recipe.score.top_k})", flush=True)
     res = evaluate_run(run, col.qrels)
-    out = {k: round(v, 4) for k, v in res["all"].items()
-           if k in ("ndcg@100", "recip_rank", "recall@100", "p@5")}
+    out = {k: round(v, 4) for k, v in res["all"].items() if k in _METRICS}
     print("metrics:", out, flush=True)
     return out
+
+
+def score_snapshots(workdir, epoch_list, run_name="run"):
+    """Epochs-vs-quality frontier from the run's per-epoch params
+    snapshots (round-3 VERDICT #1): score each requested epoch's snapshot
+    at the recipe's depth (k=1000) and report the full metric row. Reuses
+    the pipeline's own load path (pipeline.load_scorer step=...), so each
+    point costs one params upload + one scoring pass — no retraining."""
+    from sert_tpu import pipeline
+    from sert_tpu.data.instances import InstanceDataset
+    from sert_tpu.data.prepare import encode_queries
+    from sert_tpu.data.vocab import Vocabulary
+    from sert_tpu.eval.metrics import evaluate_run
+    from sert_tpu.scoring.run import score_topics
+    from sert_tpu.train import checkpoint as ckpt
+
+    ddir = os.path.join(workdir, "data")
+    rdir = os.path.join(workdir, run_name)
+    ds = InstanceDataset(ddir)
+    recipe = pipeline.resolve_model_config(build_recipe(0, 0), ds.meta)
+    steps = sorted(ckpt.list_checkpoints(
+        os.path.join(rdir, "checkpoints")))
+    n_epochs = len(steps)
+    per_epoch = {e: steps[e - 1] for e in range(1, n_epochs + 1)}
+    print(f"snapshots on disk: epochs 1..{n_epochs} -> steps {steps}",
+          flush=True)
+
+    vocab = Vocabulary.load(os.path.join(ddir, "vocab.json"))
+    with open(os.path.join(workdir, "topics.json")) as fh:
+        saved = json.load(fh)
+    encoded = encode_queries(saved["topics"], vocab, recipe.data)
+
+    table = {}
+    for e in epoch_list:
+        if e not in per_epoch:
+            print(f"epoch {e}: no snapshot (have 1..{n_epochs}); skipped",
+                  flush=True)
+            continue
+        t0 = time.time()
+        params, _, registry = pipeline.load_scorer(rdir, ddir, recipe,
+                                                   step=per_epoch[e])
+        t_load = time.time() - t0
+        t0 = time.time()
+        run = score_topics(params, recipe.model, encoded, registry.names,
+                           recipe.score)
+        t_score = time.time() - t0
+        res = evaluate_run(run, saved["qrels"])
+        row = {k: round(v, 4) for k, v in res["all"].items()
+               if k in _METRICS}
+        table[e] = row
+        print(f"epoch {e} (step {per_epoch[e]}): {row} "
+              f"[load {t_load:.0f}s score {t_score:.1f}s]", flush=True)
+        del params
+    return table
 
 
 def audit_prefilter(workdir, n_queries=64, k=100):
@@ -261,6 +327,13 @@ if __name__ == "__main__":
                     help="train output subdir; a fresh name re-trains on "
                          "the prepared data (wall-clock A/B, e.g. the "
                          "async-checkpoint measurement)")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine", "linear"])
+    ap.add_argument("--score-snapshots", default="",
+                    help="comma list of epochs to score from the existing "
+                         "run's per-epoch params snapshots (the "
+                         "epochs-vs-quality frontier); skips training")
     args = ap.parse_args()
     if args.dryrun_mesh:
         # The axon site plugin can override JAX_PLATFORMS after env setup
@@ -272,5 +345,10 @@ if __name__ == "__main__":
         dryrun_mesh(args.entities)
     elif args.audit:
         print(json.dumps(audit_prefilter(args.workdir), indent=2))
+    elif args.score_snapshots:
+        epochs = [int(x) for x in args.score_snapshots.split(",")]
+        print(json.dumps(score_snapshots(args.workdir, epochs,
+                                         run_name=args.run_name), indent=2))
     else:
-        run_pipeline(args.workdir, args.entities, run_name=args.run_name)
+        run_pipeline(args.workdir, args.entities, run_name=args.run_name,
+                     epochs=args.epochs, lr_schedule=args.lr_schedule)

@@ -112,12 +112,27 @@ class InstanceDataset:
         """Absolute paths of the instance shard .npz files, in meta order."""
         return [os.path.join(self.data_dir, n) for n in self._shard_files]
 
-    def num_batches_per_epoch(self, batch_size: int) -> int:
-        # Lower bound: per-shard drop-last.
-        total = 0
-        for s in self.meta["shards"]:
-            total += s["num"] // batch_size
-        return total
+    def num_batches_per_epoch(self, batch_size: int,
+                              readers: Optional[Tuple[int, int]] = None
+                              ) -> int:
+        # Lower bound: per-shard drop-last. With ``readers=(r, P)`` this is
+        # the LOCKSTEP epoch length: the minimum local batch count over all
+        # P readers (identical for every r — the global assembly needs all
+        # readers to contribute one sub-batch per step, so the epoch stops
+        # when the thinnest reader runs dry).
+        if readers is None:
+            return sum(s["num"] // batch_size for s in self.meta["shards"])
+        _, P = readers
+        if P > len(self._shard_files):
+            raise ValueError(
+                f"{P} readers over {len(self._shard_files)} instance "
+                "shards leaves some readers with no data; lower the "
+                "reader count or raise data.instances_per_shard at "
+                "prepare time so every process owns at least one shard")
+        return min(
+            sum(s["num"] // batch_size
+                for s in self.meta["shards"][q::P])
+            for q in range(P))
 
     def _load_shard(self, name: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         # ONE bulk sequential read, then parse the zip container in memory.
@@ -135,8 +150,28 @@ class InstanceDataset:
         batch_size: int,
         epoch: int,
         start_cursor: Optional[Cursor] = None,
+        readers: Optional[Tuple[int, int]] = None,
     ) -> Iterator[Tuple[Dict[str, np.ndarray], Cursor]]:
-        """Yield (batch dict, cursor-of-NEXT-batch) pairs for one epoch."""
+        """Yield (batch dict, cursor-of-NEXT-batch) pairs for one epoch.
+
+        ``readers=(r, P)`` is the multi-host ingestion mode (SURVEY.md
+        section 6, comm-backend row): reader r streams ONLY its own shard
+        subset (raw meta order ``[r::P]`` — fixed across epochs, so every
+        file is read by exactly one process), in a per-epoch permuted
+        order, yielding ``batch_size``-row LOCAL sub-batches. The global
+        batch is the concatenation of the P readers' sub-batches for the
+        same step (``iter_global_batches`` builds that composition in one
+        process; ``parallel/train``'s per-process put assembles it on a
+        mesh without any process materializing the whole batch). All
+        readers stop at the lockstep epoch length
+        (``num_batches_per_epoch(batch_size, readers)``), so a stored
+        cursor — ``(epoch, consumed_batches, 0)`` in this mode, identical
+        on every process — resumes every reader consistently.
+        """
+        if readers is not None:
+            yield from self._iter_reader(batch_size, epoch, start_cursor,
+                                         readers)
+            return
         rng = np.random.default_rng([self.seed, epoch])
         shard_order = rng.permutation(len(self._shard_files))
         # One sub-rng per shard, drawn up-front so skipping shards on resume
@@ -192,3 +227,103 @@ class InstanceDataset:
                 batch = {"windows": w[lo:hi], "lengths": l[lo:hi], "entities": e[lo:hi]}
                 nxt: Cursor = (epoch, si, bi + 1) if bi + 1 < n_batches else (epoch, si + 1, 0)
                 yield batch, nxt
+
+    def _iter_reader(self, batch_size: int, epoch: int,
+                     start_cursor: Optional[Cursor],
+                     readers: Tuple[int, int]
+                     ) -> Iterator[Tuple[Dict[str, np.ndarray], Cursor]]:
+        r, P = readers
+        if not 0 <= r < P:
+            raise ValueError(f"reader id {r} outside [0, {P})")
+        limit = self.num_batches_per_epoch(batch_size, readers)
+        my_shards = list(range(len(self._shard_files)))[r::P]
+        # Per-(epoch, reader) order + per-shard permutation seeds, drawn
+        # up-front so arithmetic shard skipping on resume cannot shift
+        # later shards' permutations (same contract as the single-reader
+        # path).
+        rng = np.random.default_rng([self.seed, epoch, r])
+        order = rng.permutation(len(my_shards))
+        shard_seeds = rng.integers(0, 2**63 - 1, size=len(my_shards))
+
+        consumed0 = 0
+        if start_cursor is not None:
+            c_epoch, consumed0, _ = start_cursor
+            assert c_epoch == epoch, "cursor epoch mismatch"
+
+        def load_permuted(oi: int):
+            name = self._shard_files[my_shards[order[oi]]]
+            w, l, e = self._load_shard(name)
+            perm = np.random.default_rng(
+                shard_seeds[oi]).permutation(w.shape[0])
+            return w[perm], l[perm], e[perm]
+
+        def shard_batches(oi: int) -> int:
+            return (self.meta["shards"][my_shards[order[oi]]]["num"]
+                    // batch_size)
+
+        # Arithmetic seek: skip whole already-consumed shards without
+        # loading them (resume must not replay or re-read).
+        emitted, oi0, b0 = 0, 0, 0
+        while oi0 < len(order) and emitted + shard_batches(oi0) <= consumed0:
+            emitted += shard_batches(oi0)
+            oi0 += 1
+        b0 = consumed0 - emitted
+
+        nxt_result: List = [None, None]
+
+        def prefetch(oi: int) -> threading.Thread:
+            def work():
+                try:
+                    nxt_result[0], nxt_result[1] = None, load_permuted(oi)
+                except BaseException as exc:
+                    nxt_result[0], nxt_result[1] = exc, None
+            t = threading.Thread(target=work, daemon=True)
+            t.start()
+            return t
+
+        consumed = consumed0
+        pending: Optional[threading.Thread] = None
+        for oi in range(oi0, len(order)):
+            if consumed >= limit:
+                return
+            if pending is None:
+                w, l, e = load_permuted(oi)
+            else:
+                pending.join()
+                if nxt_result[0] is not None:
+                    raise nxt_result[0]
+                w, l, e = nxt_result[1]
+            if oi + 1 < len(order):
+                pending = prefetch(oi + 1)
+            else:
+                pending = None
+            n_batches = w.shape[0] // batch_size
+            for bi in range(b0 if oi == oi0 else 0, n_batches):
+                lo, hi = bi * batch_size, (bi + 1) * batch_size
+                yield ({"windows": w[lo:hi], "lengths": l[lo:hi],
+                        "entities": e[lo:hi]},
+                       (epoch, consumed + 1, 0))
+                consumed += 1
+                if consumed >= limit:
+                    return
+
+    def iter_global_batches(
+        self,
+        batch_size: int,
+        epoch: int,
+        num_readers: int,
+        start_cursor: Optional[Cursor] = None,
+    ) -> Iterator[Tuple[Dict[str, np.ndarray], Cursor]]:
+        """Single-process emulation of the multi-host composition: zip the
+        ``num_readers`` reader streams and concatenate their sub-batches
+        into one global batch of ``batch_size * num_readers`` rows — row
+        block p is exactly what process p feeds on a pod, so a run fed
+        this way is step-for-step comparable with a per-process-fed run
+        (tests/test_multihost.py proves the equality)."""
+        its = [self.iter_batches(batch_size, epoch,
+                                 start_cursor=start_cursor, readers=(q, num_readers))
+               for q in range(num_readers)]
+        for items in zip(*its):
+            yield ({k: np.concatenate([b[k] for b, _ in items])
+                    for k in items[0][0]},
+                   items[0][1])

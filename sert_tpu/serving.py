@@ -84,9 +84,13 @@ class EntitySearcher:
             run_dir, data_dir, self.recipe, step=step)
         # Stage the engine at a k CAP (>= the default) so per-request k
         # overrides up to the cap are a free slice instead of a re-staged
-        # engine; requests beyond the cap clamp to it.
+        # engine; requests beyond the cap clamp to it. The cap honors BOTH
+        # the constructor's k (e.g. EntitySearcher(k=1000) stages a
+        # depth-1000 engine) and the recipe's own top_k (a recipe scored at
+        # depth 1000 serves depth 1000), floored at 100 and clamped to E.
+        E_total = len(self.registry.names)
         self.default_k = k
-        self.k_max = max(k, min(100, len(self.registry.names)))
+        self.k_max = min(max(k, 100, self.recipe.score.top_k), E_total)
         self.score_cfg = dataclasses.replace(
             self.recipe.score, top_k=self.k_max, query_batch=query_batch)
         self.num_entities = len(self.registry.names)

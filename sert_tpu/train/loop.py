@@ -110,13 +110,31 @@ def train(
     # devices than the mesh asks for, fall back to single-device with a
     # warning — recipes stay runnable on one chip.
     mesh_size = tcfg.mesh_shape[0] * tcfg.mesh_shape[1]
+    feed_batch, readers = tcfg.batch_size, None
     if train_step is None and mesh_size > 1:
         if mesh_size <= jax.device_count():
             from sert_tpu.parallel.mesh import make_mesh
             from sert_tpu.parallel.train import make_sharded_train_step
             mesh = make_mesh(tcfg.mesh_shape)
+            n_proc = jax.process_count()
+            per_proc = n_proc > 1
             train_step, init_fn, put_fn = make_sharded_train_step(
-                mcfg, tcfg, mesh, noise=noise)
+                mcfg, tcfg, mesh, noise=noise, per_process_feed=per_proc)
+            if per_proc:
+                # Multi-host ingestion: each process reads ONLY its own
+                # instance-shard subset and feeds its local rows of the
+                # global batch (data/instances.py reader mode +
+                # make_array_from_process_local_data assembly) — host work
+                # and feed bytes per process scale with 1/P instead of
+                # every host shipping the whole batch.
+                if tcfg.batch_size % n_proc:
+                    raise ValueError(
+                        f"batch_size {tcfg.batch_size} must divide by the "
+                        f"process count ({n_proc}) for per-process feeding")
+                feed_batch = tcfg.batch_size // n_proc
+                readers = (jax.process_index(), n_proc)
+                log.info("per-process feed: reader %d/%d, %d local rows "
+                         "per global batch", readers[0], n_proc, feed_batch)
             log.info("training on mesh %s", dict(mesh.shape))
         else:
             log.warning("mesh %s needs %d devices, have %d; running "
@@ -227,13 +245,16 @@ def train(
     # per-shard floor sum — num_instances // batch_size OVERESTIMATES it
     # (e.g. 2 shards x 96 instances at batch 128 is 0 real batches, not 1)
     # and _group_batches additionally drops incomplete micro-step groups.
-    n_batches = dataset.num_batches_per_epoch(tcfg.batch_size)
+    n_batches = dataset.num_batches_per_epoch(feed_batch, readers=readers)
     if n_batches == 0:
         raise ValueError(
             f"dataset yields 0 full batches of train.batch_size="
             f"{tcfg.batch_size} ({dataset.num_instances} instances spread "
             f"over {len(dataset.meta['shards'])} shards, tails dropped "
-            "per shard); every epoch would train 0 steps — lower "
+            "per shard"
+            + (f", lockstep over {readers[1]} reader processes"
+               if readers else "")
+            + "); every epoch would train 0 steps — lower "
             "train.batch_size or raise data.instances_per_shard")
     if n_micro > n_batches:
         log.warning(
@@ -250,8 +271,9 @@ def train(
     try:
         for epoch in range(start_epoch, tcfg.num_epochs):
             epoch_cursor = cursor if epoch == start_epoch else None
-            batches = dataset.iter_batches(tcfg.batch_size, epoch=epoch,
-                                           start_cursor=epoch_cursor)
+            batches = dataset.iter_batches(feed_batch, epoch=epoch,
+                                           start_cursor=epoch_cursor,
+                                           readers=readers)
             batches = _group_batches(batches, n_micro, stack=stack_groups)
             feeder = PrefetchFeeder(batches,
                                     put_fn=_batch_put(put_fn, pack_fn),

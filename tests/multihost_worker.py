@@ -13,7 +13,14 @@ Exercises, in order:
   2. multi-host-safe save_checkpoint (process_allgather + process-0-only
      write + step barrier);
   3. loss value agreement across processes, written to a per-process JSON
-     the pytest wrapper diffs (also against a single-process run).
+     the pytest wrapper diffs (also against a single-process run);
+  4. (argv[6] = prepared data dir) PER-PROCESS INGESTION: each process
+     reads ONLY its own instance-shard subset (readers=(pid, P)) and
+     feeds its local rows through make_array_from_process_local_data
+     (per_process_feed=True) — no process materializes a global batch.
+     A replicated-feed control run over the SAME composition
+     (iter_global_batches) runs next; the wrapper demands identical
+     losses/params between the two AND against a single-process run.
 """
 
 import json
@@ -68,10 +75,48 @@ def main() -> None:
 
     path = ckpt.save_checkpoint(os.path.join(out_dir, "ckpts"), 2, state)
 
+    row = {"losses": losses, "ckpt_path": path,
+           "ckpt_exists": os.path.exists(path),
+           "process_count": jax.process_count()}
+
+    data_dir = sys.argv[6] if len(sys.argv) > 6 else ""
+    if data_dir:
+        from sert_tpu.data.instances import InstanceDataset
+        from sert_tpu.parallel.train import make_sharded_train_step as mk
+
+        ds = InstanceDataset(data_dir, seed=0)
+        B2 = 8 * n_procs            # local rows = 8 per process
+        cfg2 = ModelConfig(model="loglinear",
+                           vocab_size=int(ds.meta["vocab_size"]),
+                           num_entities=int(ds.meta["num_entities"]),
+                           word_dim=8)
+        tcfg2 = TrainConfig(batch_size=B2, learning_rate=1e-2,
+                            donate_state=False,
+                            mesh_shape=(n_procs, jax.local_device_count()))
+
+        def run(per_proc: bool, n_steps: int = 4):
+            step, init_fn, put_fn = mk(cfg2, tcfg2, mesh,
+                                       per_process_feed=per_proc)
+            st = init_fn()
+            ls = []
+            if per_proc:
+                it = ds.iter_batches(B2 // n_procs, epoch=0,
+                                     readers=(proc_id, n_procs))
+            else:
+                it = ds.iter_global_batches(B2 // n_procs, epoch=0,
+                                            num_readers=n_procs)
+            for _, (batch, _cur) in zip(range(n_steps), it):
+                st, m = step(st, put_fn(batch))
+                ls.append(float(m["loss"]))
+            sums = {k: float(jax.numpy.sum(v.astype(jax.numpy.float32)))
+                    for k, v in st.params.items()}
+            return ls, sums
+
+        row["feed_losses"], row["feed_param_sums"] = run(True)
+        row["repl_losses"], row["repl_param_sums"] = run(False)
+
     with open(os.path.join(out_dir, f"proc{proc_id}.json"), "w") as fh:
-        json.dump({"losses": losses, "ckpt_path": path,
-                   "ckpt_exists": os.path.exists(path),
-                   "process_count": jax.process_count()}, fh)
+        json.dump(row, fh)
 
 
 if __name__ == "__main__":

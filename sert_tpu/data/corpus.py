@@ -131,13 +131,39 @@ def build_expert_associations(
 # Amazon review JSON (one JSON object per line: asin, reviewText, summary).
 # ---------------------------------------------------------------------------
 
+_REVIEW_SUFFIXES = (".json", ".json.gz", ".jsonl", ".jsonl.gz")
+
+
+def expand_review_paths(paths: Iterable[str]) -> List[str]:
+    """Expand directory arguments into their contained review files
+    (recursive walk, sorted for a deterministic file index); plain file
+    paths pass through in order. Mirrors the TREC side's corpus-tree
+    ingestion for the product pipeline: real Amazon dumps ship as one or
+    more ``.json.gz`` per category, often nested under a category tree."""
+    out: List[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            hits = [os.path.join(root, f)
+                    for root, _dirs, files in os.walk(p)
+                    for f in files if f.endswith(_REVIEW_SUFFIXES)]
+            if not hits:
+                raise ValueError(
+                    f"no review JSON files (*{'/ *'.join(_REVIEW_SUFFIXES)})"
+                    f" under directory {p!r}")
+            out.extend(sorted(hits))
+        else:
+            out.append(p)
+    return out
+
+
 def iter_amazon_reviews(paths: Iterable[str]) -> Iterator[Tuple[str, str, str]]:
-    """Yield (review_id, asin, text) from Amazon review JSON-lines files.
+    """Yield (review_id, asin, text) from Amazon review JSON-lines files
+    (or directories of them — ``expand_review_paths``).
 
     Review ids are ``f{file_index}:{line}``: stable across path spellings
     and CWDs (unlike embedding the path) while still collision-free for
     same-named files in different directories (unlike the basename)."""
-    for fi, path in enumerate(paths):
+    for fi, path in enumerate(expand_review_paths(paths)):
         with _open_maybe_gzip(path) as fh:
             for i, line in enumerate(fh):
                 line = line.strip()

@@ -64,6 +64,10 @@ def _geometry_ok(model_cfg: ModelConfig, train_cfg: TrainConfig) -> bool:
         # optax schedule through its own count state)
         and getattr(train_cfg, "lr_schedule", "constant") == "constant"
         and getattr(train_cfg, "lr_warmup_steps", 0) == 0
+        # the kernel bakes adagrad's eps (ops/xent.py); the initial
+        # accumulator flows through optax state init and is fine
+        and (train_cfg.optimizer != "adagrad"
+             or getattr(train_cfg, "adagrad_eps", 1e-7) == 1e-7)
         and d % 128 == 0
         and fused_update_te(train_cfg.optimizer, d, bp) is not None
     )

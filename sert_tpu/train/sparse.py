@@ -119,23 +119,24 @@ def _dedup_rows(ids: jax.Array, grads: jax.Array,
     return ids_u, g_u
 
 
-def _row_state_init(params, optimizer: str) -> Dict:
+def _row_state_init(params, train_cfg: TrainConfig) -> Dict:
     """Per-row optimizer state for the sparse params — same shapes and
     dtypes optax would allocate densely (zeros_like / full_like), so the
     checkpoint layout stays pytree-generic."""
     out = {}
+    acc0 = getattr(train_cfg, "adagrad_init_accumulator", 0.1)
     for k in _SPARSE_KEYS:
         p = params[k]
-        if optimizer == "adam":
+        if train_cfg.optimizer == "adam":
             out[k] = {"m": jnp.zeros_like(p), "v": jnp.zeros_like(p)}
-        elif optimizer == "adagrad":
-            out[k] = {"acc": jnp.full_like(p, 0.1)}   # optax scale_by_rss
+        elif train_cfg.optimizer == "adagrad":
+            out[k] = {"acc": jnp.full_like(p, acc0)}  # optax scale_by_rss
         else:                                         # sgd: stateless
             out[k] = {}
     return out
 
 
-def _row_update(optimizer: str, param: jax.Array, st: Dict,
+def _row_update(train_cfg: TrainConfig, param: jax.Array, st: Dict,
                 ids_safe: jax.Array, g_u: jax.Array, lr: float,
                 t: jax.Array) -> Tuple[jax.Array, Dict]:
     """Apply one lazy optimizer step to the rows named by ``ids_safe``.
@@ -144,6 +145,7 @@ def _row_update(optimizer: str, param: jax.Array, st: Dict,
     sgd) so the parity tests can demand leaf equality; sentinel ids
     (== param.shape[0]) gather row 0 harmlessly and are DROPPED at
     scatter."""
+    optimizer = train_cfg.optimizer
     E = param.shape[0]
     ids_g = jnp.minimum(ids_safe, E - 1)          # safe gather; drop later
     if optimizer == "sgd":
@@ -152,8 +154,9 @@ def _row_update(optimizer: str, param: jax.Array, st: Dict,
     if optimizer == "adagrad":
         acc_rows = st["acc"][ids_g]
         acc_new = acc_rows + jnp.square(g_u)
+        eps = getattr(train_cfg, "adagrad_eps", 1e-7)
         inv = jnp.where(acc_new > 0,
-                        jax.lax.rsqrt(acc_new.astype(jnp.float32) + 1e-7),
+                        jax.lax.rsqrt(acc_new.astype(jnp.float32) + eps),
                         0.0)
         upd = (-lr * g_u.astype(jnp.float32) * inv).astype(param.dtype)
         return (param.at[ids_safe].add(upd, mode="drop"),
@@ -225,7 +228,7 @@ def init_sparse_opt_state(params, train_cfg: TrainConfig) -> Dict:
     """{"dense": optax state over (proj_w, proj_b), "rows": per-row state}."""
     dense_p = {k: params[k] for k in _DENSE_KEYS}
     return {"dense": _dense_opt(train_cfg).init(dense_p),
-            "rows": _row_state_init(params, train_cfg.optimizer)}
+            "rows": _row_state_init(params, train_cfg)}
 
 
 def _dense_opt(train_cfg: TrainConfig) -> optax.GradientTransformation:
@@ -239,7 +242,11 @@ def _dense_opt(train_cfg: TrainConfig) -> optax.GradientTransformation:
     if train_cfg.optimizer == "adam":
         return optax.adam(lr)
     if train_cfg.optimizer == "adagrad":
-        return optax.adagrad(lr)
+        return optax.adagrad(
+            lr,
+            initial_accumulator_value=getattr(
+                train_cfg, "adagrad_init_accumulator", 0.1),
+            eps=getattr(train_cfg, "adagrad_eps", 1e-7))
     return optax.sgd(lr)
 
 
@@ -323,10 +330,9 @@ def make_sparse_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         lr = (lr_of(state.step).astype(jnp.float32)
               if callable(lr_of) else lr_of)
         rows = state.opt_state["rows"]
-        word_new, rw = _row_update(train_cfg.optimizer, params["word_emb"],
+        word_new, rw = _row_update(train_cfg, params["word_emb"],
                                    rows["word_emb"], ids_w, gw_u, lr, t)
-        ent_new, re_ = _row_update(train_cfg.optimizer,
-                                   params["entity_emb"],
+        ent_new, re_ = _row_update(train_cfg, params["entity_emb"],
                                    rows["entity_emb"], ids_e, ge_u, lr, t)
 
         new_params = {"word_emb": word_new, "entity_emb": ent_new,

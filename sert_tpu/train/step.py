@@ -107,7 +107,11 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     if cfg.optimizer == "adam":
         opt = optax.adam(lr)
     elif cfg.optimizer == "adagrad":
-        opt = optax.adagrad(lr)
+        opt = optax.adagrad(
+            lr,
+            initial_accumulator_value=getattr(
+                cfg, "adagrad_init_accumulator", 0.1),
+            eps=getattr(cfg, "adagrad_eps", 1e-7))
     elif cfg.optimizer == "sgd":
         opt = optax.sgd(lr)
     elif cfg.optimizer == "adafactor":

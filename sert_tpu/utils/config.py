@@ -113,6 +113,15 @@ class TrainConfig:
     lr_final_fraction: float = 0.0  # end lr = fraction * learning_rate
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0     # 0 disables clipping
+    # Adagrad escape hatches for the measured tanh-saturation /
+    # accumulator-lock failure at scale (benchmarks/NOTES.md round-3
+    # "Escape attempt": LSE at E=1M pins at ln(E) under adagrad). A larger
+    # initial accumulator damps the first steps before the monotone sum
+    # takes over; eps floors the rsqrt. Defaults are optax's own, so the
+    # stock arithmetic (and every parity test) is unchanged unless set.
+    # A non-default eps gates the fused-update kernel off (it bakes 1e-7).
+    adagrad_init_accumulator: float = 0.1
+    adagrad_eps: float = 1e-7
     checkpoint_every_steps: int = 0  # 0 = per-epoch only
     keep_checkpoints: int = 0        # >0: prune to the newest N on disk
     # Overlap checkpoint device->host fetch + write with training (the

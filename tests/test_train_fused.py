@@ -78,6 +78,13 @@ class TestGating:
             ModelConfig(model="loglinear", vocab_size=V, num_entities=E,
                         word_dim=120), _tcfg())          # d % 128 != 0
         assert not fused_applicable(_mcfg(), _tcfg(batch_size=1 << 15))
+        # the kernel bakes adagrad's eps; a non-default eps must gate off
+        # (the initial accumulator flows through optax init and is fine)
+        assert not fused_applicable(
+            _mcfg(), _tcfg(optimizer="adagrad", adagrad_eps=1e-4))
+        assert fused_applicable(
+            _mcfg(), _tcfg(optimizer="adagrad",
+                           adagrad_init_accumulator=1.0))
         assert not fused_applicable(
             ModelConfig(model="lse", vocab_size=V, num_entities=E,
                         word_dim=D, entity_dim=D), _tcfg())

@@ -113,6 +113,28 @@ class TestExactParity:
         np.testing.assert_allclose(float(m_sparse["grad_norm"]),
                                    float(m_dense["grad_norm"]), rtol=1e-5)
 
+    def test_adagrad_knobs_parity_and_effect(self):
+        # The escape hatches (TrainConfig.adagrad_init_accumulator /
+        # adagrad_eps, round-3 VERDICT item 7) must keep lazy == dense
+        # leaf-exactly AND actually change the arithmetic vs defaults.
+        mcfg = _cfg()
+        noise = jnp.asarray(
+            np.random.default_rng(5).normal(size=E).astype(np.float32))
+        knobs = dict(optimizer="adagrad", adagrad_init_accumulator=1.0,
+                     adagrad_eps=1e-4)
+        s_sparse, _ = _run(mcfg, _tcfg(**knobs), 4, noise=noise)
+        s_dense, _ = _run(mcfg, _tcfg(sparse_update="off", **knobs), 4,
+                          noise=noise)
+        for k in s_dense.params:
+            np.testing.assert_allclose(
+                np.asarray(s_sparse.params[k]), np.asarray(s_dense.params[k]),
+                rtol=2e-6, atol=5e-7, err_msg=k)
+        s_default, _ = _run(mcfg, _tcfg(optimizer="adagrad"), 4, noise=noise)
+        diff = max(float(jnp.max(jnp.abs(s_default.params[k]
+                                         - s_dense.params[k])))
+                   for k in s_dense.params)
+        assert diff > 1e-5, "non-default knobs changed nothing"
+
     def test_adam_first_step_exact(self):
         # From zero moments an untouched row's dense-adam update is zero
         # too, so step 1 must agree (to reassociation ulps) tree-wide.

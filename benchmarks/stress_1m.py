@@ -73,7 +73,7 @@ _METRICS = ("ndcg@100", "recip_rank", "recall@100", "recall@1000", "p@5")
 
 
 def run_pipeline(workdir, E, run_name="run", epochs=3,
-                 lr_schedule="constant"):
+                 lr_schedule="constant", docs_per_entity=1):
     from sert_tpu import pipeline
     from sert_tpu.data import Associations, EntityRegistry, Vocabulary
     from sert_tpu.data.prepare import encode_queries, prepare
@@ -84,7 +84,8 @@ def run_pipeline(workdir, E, run_name="run", epochs=3,
     os.makedirs(workdir, exist_ok=True)
     t0 = time.time()
     col = make_synthetic(num_entities=E, vocab_size=250_000,
-                         docs_per_entity=1, doc_len=40, signature_size=8,
+                         docs_per_entity=docs_per_entity, doc_len=40,
+                         signature_size=8,
                          num_topics=200, seed=13, hard=True, signal=0.6)
     print(f"gen {time.time()-t0:.0f}s ({len(col.docs)} docs)", flush=True)
 
@@ -330,6 +331,10 @@ if __name__ == "__main__":
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--lr-schedule", default="constant",
                     choices=["constant", "cosine", "linear"])
+    ap.add_argument("--docs-per-entity", type=int, default=1,
+                    help="hard-generator association multiplicity; the "
+                         "round-4 data-ceiling A/B runs the SAME generator "
+                         "at reduced E with 1 vs 2 docs/entity")
     ap.add_argument("--score-snapshots", default="",
                     help="comma list of epochs to score from the existing "
                          "run's per-epoch params snapshots (the "
@@ -351,4 +356,5 @@ if __name__ == "__main__":
                                          run_name=args.run_name), indent=2))
     else:
         run_pipeline(args.workdir, args.entities, run_name=args.run_name,
-                     epochs=args.epochs, lr_schedule=args.lr_schedule)
+                     epochs=args.epochs, lr_schedule=args.lr_schedule,
+                     docs_per_entity=args.docs_per_entity)

@@ -215,13 +215,72 @@ def lib_path() -> str:
     return os.path.join(os.path.dirname(__file__), _LIB_NAME)
 
 
+def _sources():
+    d = os.path.dirname(__file__)
+    return [os.path.join(d, f) for f in ("window_sweep.cc", "text.cc")]
+
+
+def _try_build(path: str) -> bool:
+    """Compile the native library in place, concurrency-safe.
+
+    The .so is a build artifact (gitignored), so a fresh checkout has
+    none — without this, every new environment silently runs the ~3x
+    slower pure-Python prepare until something runs build.sh (round-4
+    finding: the 1M prepare paid 299 s that way). Compiles to a
+    tmp name + os.replace so two processes racing both end with a whole
+    library; any failure (no g++, read-only install dir, sandbox) returns
+    False and the numpy path takes over. SERT_NO_NATIVE_BUILD=1 disables
+    the attempt (e.g. for build-determinism tests)."""
+    if os.environ.get("SERT_NO_NATIVE_BUILD"):
+        return False
+    import shutil
+    import subprocess
+    import tempfile
+    gxx = shutil.which("g++") or shutil.which("c++")
+    if gxx is None:
+        return False
+    srcs = _sources()
+    if not all(os.path.exists(s) for s in srcs):
+        return False
+    tmp = None
+    try:
+        fd, tmp = tempfile.mkstemp(suffix=".so",
+                                   dir=os.path.dirname(path))
+        os.close(fd)
+        subprocess.run(
+            [gxx, "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", tmp] + srcs,
+            check=True, capture_output=True, timeout=120)
+        os.replace(tmp, path)
+        tmp = None
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+    finally:
+        if tmp is not None:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+
 def maybe_load() -> Optional[_NativeWindows]:
     global _cached, _load_attempted
     if _load_attempted:
         return _cached
     _load_attempted = True
     path = lib_path()
-    if not os.path.exists(path):
+    # Build on first use when missing, or rebuild when STALE (older than
+    # any source): a stale library either fails the AttributeError check
+    # below or — worse — silently runs outdated code against tests
+    # written for the new sources.
+    try:
+        stale = (not os.path.exists(path)
+                 or os.path.getmtime(path) < max(
+                     os.path.getmtime(s) for s in _sources()))
+    except OSError:
+        stale = not os.path.exists(path)
+    if stale and not _try_build(path) and not os.path.exists(path):
         return None
     try:
         _cached = _NativeWindows(ctypes.CDLL(path))

@@ -18,6 +18,8 @@ from sert_tpu.native import loader
 
 @pytest.fixture(scope="module")
 def native():
+    # maybe_load() now compiles on first use (missing or stale .so);
+    # build.sh remains the manual fallback for odd toolchains.
     if loader.maybe_load() is None:
         if shutil.which("g++") is None:
             pytest.skip("no g++ available")
@@ -29,6 +31,49 @@ def native():
     if lib is None:
         pytest.skip("native lib failed to load")
     return lib
+
+
+def test_autobuild_from_clean(tmp_path, monkeypatch):
+    """A fresh checkout (no .so) must build on first maybe_load() —
+    otherwise every new environment silently runs the slow Python
+    prepare. Exercised by moving the built lib aside and resetting the
+    loader cache; restored afterward either way."""
+    if shutil.which("g++") is None:
+        pytest.skip("no g++ available")
+    path = loader.lib_path()
+    aside = str(tmp_path / "aside.so")
+    monkeypatch.setattr(loader, "_load_attempted", False)
+    monkeypatch.setattr(loader, "_cached", None)
+    had = os.path.exists(path)
+    if had:
+        os.replace(path, aside)
+    try:
+        lib = loader.maybe_load()
+        assert lib is not None and os.path.exists(path)
+        assert getattr(lib, "has_text", False)
+    finally:
+        if not os.path.exists(path) and had:
+            os.replace(aside, path)
+        loader._load_attempted = False
+        loader._cached = None
+
+
+def test_autobuild_disabled_by_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("SERT_NO_NATIVE_BUILD", "1")
+    monkeypatch.setattr(loader, "_load_attempted", False)
+    monkeypatch.setattr(loader, "_cached", None)
+    path = loader.lib_path()
+    aside = str(tmp_path / "aside.so")
+    had = os.path.exists(path)
+    if had:
+        os.replace(path, aside)
+    try:
+        assert loader.maybe_load() is None
+    finally:
+        if had:
+            os.replace(aside, path)
+        loader._load_attempted = False
+        loader._cached = None
 
 
 CASES = [

@@ -34,6 +34,11 @@ def main() -> None:
     timer = threading.Timer(_WATCHDOG_SECS, _watchdog)
     timer.daemon = True      # never keep a finished bench process alive
     timer.start()
+    # Persistent compile cache: first-run compile drops out of later runs
+    # (measured 170.7s -> 2.3s for the stress train step); steady-state
+    # timing below is unaffected (compile happens before the timed region).
+    from sert_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from benchmarks.score_bench import measure_entities_per_sec
 
     # 400 sweeps per timed jit call amortizes the ~24 ms tunnel-dispatch RTT

@@ -340,6 +340,11 @@ if __name__ == "__main__":
                          "run's per-epoch params snapshots (the "
                          "epochs-vs-quality frontier); skips training")
     args = ap.parse_args()
+    if not args.dryrun_mesh:
+        # Persistent compile cache (utils/cache.py): repeated stress runs
+        # stop re-paying the 20-270s train-step/scorer compiles.
+        from sert_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
     if args.dryrun_mesh:
         # The axon site plugin can override JAX_PLATFORMS after env setup
         # (same workaround as tests/conftest.py / __graft_entry__): pin the

@@ -34,6 +34,12 @@ def _load_recipe(spec: str):
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # Persistent XLA compilation cache across CLI invocations (the train
+    # step / scoring engine compiles cost 20-270 s at 1M scale on the
+    # remote-compile platform; utils/cache.py). SERT_NO_COMPILE_CACHE=1
+    # opts out; an existing JAX cache configuration is respected.
+    from sert_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(prog="sert_tpu")
     from sert_tpu import __version__
     ap.add_argument("--version", action="version",

@@ -106,3 +106,53 @@ class TestProfiling:
     def test_annotate(self):
         with profiling.annotate("region"):
             _ = jnp.arange(4).sum()
+
+
+class TestCompilationCache:
+    """utils/cache.py: persistent-cache wiring (round 4)."""
+
+    def _restore(self, prev):
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+    def test_opt_out_env(self, monkeypatch):
+        from sert_tpu.utils import cache
+        prev = jax.config.jax_compilation_cache_dir
+        monkeypatch.setenv("SERT_NO_COMPILE_CACHE", "1")
+        try:
+            assert cache.enable_compilation_cache("/nonexistent/x") is None
+            assert jax.config.jax_compilation_cache_dir == prev
+        finally:
+            self._restore(prev)
+
+    def test_respects_existing_config(self, tmp_path):
+        from sert_tpu.utils import cache
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+            assert cache.enable_compilation_cache("/other") == str(tmp_path)
+        finally:
+            self._restore(prev)
+
+    def test_enables_and_writes_entries(self, tmp_path, monkeypatch):
+        from sert_tpu.utils import cache
+        prev = jax.config.jax_compilation_cache_dir
+        prev_t = jax.config.jax_persistent_cache_min_compile_time_secs
+        prev_b = jax.config.jax_persistent_cache_min_entry_size_bytes
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        try:
+            got = cache.enable_compilation_cache(str(tmp_path / "c"))
+            assert got == str(tmp_path / "c")
+            # Thresholds lowered only HERE so the toy program writes an
+            # entry (product code keeps jax defaults).
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+            x = jnp.ones((64, 64))
+            jax.jit(lambda a: (a @ a.T).sum() * 1.000173)(x).block_until_ready()
+            import os as _os
+            assert _os.listdir(got), "no cache entry written"
+        finally:
+            self._restore(prev)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              prev_t)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              prev_b)

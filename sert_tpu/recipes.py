@@ -30,6 +30,7 @@ class SyntheticSpec:
     # instead of the saturated 1.0 ceiling (round-1 VERDICT weakness 2).
     hard: bool = False
     signal: float = 0.7
+    signature_size: int = 12   # signature terms per entity (make_synthetic)
     # vocab_gap: plant paraphrase structure on the hard groups so queries
     # reach graded siblings only through distributional geometry, never
     # literal term match — the regime where a correct semantic model BEATS
@@ -41,7 +42,8 @@ class SyntheticSpec:
             num_entities=self.num_entities, vocab_size=self.vocab_size,
             docs_per_entity=self.docs_per_entity, doc_len=self.doc_len,
             num_topics=self.num_topics, seed=self.seed, hard=self.hard,
-            signal=self.signal, vocab_gap=self.vocab_gap)
+            signal=self.signal, vocab_gap=self.vocab_gap,
+            signature_size=self.signature_size)
 
 
 # --- BASELINE.json configs 1-5 -------------------------------------------
@@ -156,12 +158,45 @@ def synthetic_10m_scoring() -> RecipeConfig:
     )
 
 
+def synthetic_1m_retrieval() -> RecipeConfig:
+    """The measured-best 1M-entity end-to-end configuration (round 4):
+    hard-mode stand-in at BASELINE.json config-5 training scale, scored at
+    depth 1000 (the recall@1k headline). Carries every setting the
+    stress-harness ablations selected — sampled softmax with 1024
+    batch-shared negatives, bf16 compute, adam + cosine decay (+0.06
+    NDCG@100 over constant lr at equal budget), params-only epoch
+    snapshots, steps_per_call=4 (the 16-step scan wedges the remote
+    compile service at this width) — reaching NDCG@100 0.852 /
+    recall@1000 0.951 in 1771 s of training on one v5 lite chip
+    (benchmarks/NOTES.md round 4; docs/QUALITY.md)."""
+    return RecipeConfig(
+        name="synthetic_1m_retrieval",
+        data=DataConfig(window_size=8, vocab_min_count=1,
+                        vocab_max_size=300_000),
+        model=ModelConfig(model="lse", word_dim=128, entity_dim=128,
+                          objective="sampled_softmax", num_negatives=1024,
+                          negative_distribution="unigram",
+                          compute_dtype="bfloat16"),
+        train=TrainConfig(batch_size=4096, num_epochs=10, optimizer="adam",
+                          learning_rate=3e-3, lr_schedule="cosine",
+                          lr_final_fraction=0.05, steps_per_call=4,
+                          log_every_steps=200, epoch_snapshot="params"),
+        score=ScoreConfig(top_k=1000, similarity="cosine", engine="pallas"),
+    )
+
+
+SYNTH_1M = SyntheticSpec(num_entities=1_000_000, vocab_size=250_000,
+                         docs_per_entity=1, doc_len=40, num_topics=200,
+                         seed=13, hard=True, signal=0.6, signature_size=8)
+
+
 RECIPES: Dict[str, Callable[[], RecipeConfig]] = {
     "w3c_expert_finding": w3c_expert_finding,
     "cerc_expert_finding": cerc_expert_finding,
     "amazon_musical_instruments": amazon_musical_instruments,
     "amazon_home_kitchen": amazon_home_kitchen,
     "synthetic_10m_scoring": synthetic_10m_scoring,
+    "synthetic_1m_retrieval": synthetic_1m_retrieval,
 }
 
 SYNTH_SPECS: Dict[str, SyntheticSpec] = {
@@ -169,6 +204,7 @@ SYNTH_SPECS: Dict[str, SyntheticSpec] = {
     "cerc_expert_finding": CERC_SYNTH,
     "amazon_musical_instruments": AMAZON_MI_SYNTH,
     "amazon_home_kitchen": AMAZON_HK_SYNTH,
+    "synthetic_1m_retrieval": SYNTH_1M,
 }
 
 

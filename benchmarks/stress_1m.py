@@ -33,7 +33,8 @@ import time
 import numpy as np
 
 
-def build_recipe(E, vocab_size, epochs=3, lr_schedule="constant"):
+def build_recipe(E, vocab_size, epochs=3, lr_schedule="constant",
+                 num_negatives=1024):
     from sert_tpu.utils.config import (DataConfig, ModelConfig, RecipeConfig,
                                        ScoreConfig, TrainConfig)
     dcfg = DataConfig(window_size=8, vocab_min_count=1, vocab_max_size=300_000)
@@ -44,7 +45,8 @@ def build_recipe(E, vocab_size, epochs=3, lr_schedule="constant"):
         data=dcfg,
         model=ModelConfig(model="lse", vocab_size=vocab_size, num_entities=E,
                           word_dim=128, entity_dim=128,
-                          objective="sampled_softmax", num_negatives=1024,
+                          objective="sampled_softmax",
+                          num_negatives=num_negatives,
                           negative_distribution="unigram",
                           compute_dtype="bfloat16"),
         # steps_per_call=4, not 16: the scan-of-16 program at E=1M wedges
@@ -73,7 +75,8 @@ _METRICS = ("ndcg@100", "recip_rank", "recall@100", "recall@1000", "p@5")
 
 
 def run_pipeline(workdir, E, run_name="run", epochs=3,
-                 lr_schedule="constant", docs_per_entity=1):
+                 lr_schedule="constant", docs_per_entity=1,
+                 num_negatives=1024):
     from sert_tpu import pipeline
     from sert_tpu.data import Associations, EntityRegistry, Vocabulary
     from sert_tpu.data.prepare import encode_queries, prepare
@@ -91,7 +94,8 @@ def run_pipeline(workdir, E, run_name="run", epochs=3,
 
     reg = EntityRegistry(col.entities)
     ddir = os.path.join(workdir, "data")
-    recipe = build_recipe(E, 0, epochs=epochs, lr_schedule=lr_schedule)
+    recipe = build_recipe(E, 0, epochs=epochs, lr_schedule=lr_schedule,
+                          num_negatives=num_negatives)
     if os.path.exists(os.path.join(ddir, "instances.meta.json")):
         print("prepare: reusing existing data dir", flush=True)
     else:
@@ -335,6 +339,10 @@ if __name__ == "__main__":
                     help="hard-generator association multiplicity; the "
                          "round-4 data-ceiling A/B runs the SAME generator "
                          "at reduced E with 1 vs 2 docs/entity")
+    ap.add_argument("--num-negatives", type=int, default=1024,
+                    help="batch-shared sampled-softmax candidates (one "
+                         "MXU matmul scores them all, so 2048 is nearly "
+                         "free — the round-4 softmax-fidelity probe)")
     ap.add_argument("--score-snapshots", default="",
                     help="comma list of epochs to score from the existing "
                          "run's per-epoch params snapshots (the "
@@ -362,4 +370,5 @@ if __name__ == "__main__":
     else:
         run_pipeline(args.workdir, args.entities, run_name=args.run_name,
                      epochs=args.epochs, lr_schedule=args.lr_schedule,
-                     docs_per_entity=args.docs_per_entity)
+                     docs_per_entity=args.docs_per_entity,
+                     num_negatives=args.num_negatives)

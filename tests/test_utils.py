@@ -140,6 +140,17 @@ class TestCompilationCache:
         prev_b = jax.config.jax_persistent_cache_min_entry_size_bytes
         monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
         try:
+            # Any earlier CLI-driving test has already set the global cache
+            # dir (cli.main enables it) AND initialized the cache backend;
+            # clear the config and reset the backend so THIS call is the
+            # one that configures it. (Product code never needs the reset —
+            # the CLI configures the dir before the first compile.)
+            jax.config.update("jax_compilation_cache_dir", None)
+            try:
+                from jax._src import compilation_cache as _cc
+                _cc.reset_cache()
+            except (ImportError, AttributeError):
+                pytest.skip("jax compilation-cache reset unavailable")
             got = cache.enable_compilation_cache(str(tmp_path / "c"))
             assert got == str(tmp_path / "c")
             # Thresholds lowered only HERE so the toy program writes an

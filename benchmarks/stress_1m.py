@@ -34,7 +34,7 @@ import numpy as np
 
 
 def build_recipe(E, vocab_size, epochs=3, lr_schedule="constant",
-                 num_negatives=1024):
+                 num_negatives=1024, model="lse"):
     from sert_tpu.utils.config import (DataConfig, ModelConfig, RecipeConfig,
                                        ScoreConfig, TrainConfig)
     dcfg = DataConfig(window_size=8, vocab_min_count=1, vocab_max_size=300_000)
@@ -43,7 +43,11 @@ def build_recipe(E, vocab_size, epochs=3, lr_schedule="constant",
     return RecipeConfig(
         name="stress1m",
         data=dcfg,
-        model=ModelConfig(model="lse", vocab_size=vocab_size, num_entities=E,
+        # model="lse_full" is the exact-objective anchor (round-4 negatives
+        # ladder): the SAME window_rep/tanh geometry trained with the full
+        # softmax over all E entities via the fused Pallas xent kernel —
+        # the limit the importance-corrected sampled estimator converges to.
+        model=ModelConfig(model=model, vocab_size=vocab_size, num_entities=E,
                           word_dim=128, entity_dim=128,
                           objective="sampled_softmax",
                           num_negatives=num_negatives,
@@ -76,7 +80,7 @@ _METRICS = ("ndcg@100", "recip_rank", "recall@100", "recall@1000", "p@5")
 
 def run_pipeline(workdir, E, run_name="run", epochs=3,
                  lr_schedule="constant", docs_per_entity=1,
-                 num_negatives=1024):
+                 num_negatives=1024, model="lse"):
     from sert_tpu import pipeline
     from sert_tpu.data import Associations, EntityRegistry, Vocabulary
     from sert_tpu.data.prepare import encode_queries, prepare
@@ -95,7 +99,7 @@ def run_pipeline(workdir, E, run_name="run", epochs=3,
     reg = EntityRegistry(col.entities)
     ddir = os.path.join(workdir, "data")
     recipe = build_recipe(E, 0, epochs=epochs, lr_schedule=lr_schedule,
-                          num_negatives=num_negatives)
+                          num_negatives=num_negatives, model=model)
     if os.path.exists(os.path.join(ddir, "instances.meta.json")):
         print("prepare: reusing existing data dir", flush=True)
     else:
@@ -343,6 +347,10 @@ if __name__ == "__main__":
                     help="batch-shared sampled-softmax candidates (one "
                          "MXU matmul scores them all, so 2048 is nearly "
                          "free — the round-4 softmax-fidelity probe)")
+    ap.add_argument("--model", default="lse", choices=["lse", "lse_full"],
+                    help="lse_full = the exact full-softmax anchor through "
+                         "the fused Pallas xent kernel (the negatives "
+                         "ladder's limit; same geometry, exact objective)")
     ap.add_argument("--score-snapshots", default="",
                     help="comma list of epochs to score from the existing "
                          "run's per-epoch params snapshots (the "
@@ -371,4 +379,4 @@ if __name__ == "__main__":
         run_pipeline(args.workdir, args.entities, run_name=args.run_name,
                      epochs=args.epochs, lr_schedule=args.lr_schedule,
                      docs_per_entity=args.docs_per_entity,
-                     num_negatives=args.num_negatives)
+                     num_negatives=args.num_negatives, model=args.model)

@@ -113,6 +113,29 @@ def loss(params: Params, batch, cfg: ModelConfig, rng: jax.Array = None,
     return -jnp.mean(ll)
 
 
+def _use_fused_sampled(cfg: ModelConfig, k: int) -> bool:
+    """Fused-kernel policy for the sampled objective — same knob and shape
+    as loglinear._use_fused, but thresholded on the CANDIDATE count: the
+    [B, k] logits array is this loss's HBM bill, and the measured 1M train
+    only becomes bandwidth-bound past ~2k shared negatives (108 -> 57
+    steps/s over k=1024 -> 16384; benchmarks/NOTES.md round-4 negatives
+    ladder). Below that the XLA composition is already cheap. Width
+    feasibility reuses the xent VMEM plan (the tile budget is identical —
+    the candidate axis plays xent's entity axis)."""
+    if cfg.fused_softmax == "on":
+        return True
+    if cfg.fused_softmax == "off":
+        return False
+    if k < 2048 or jax.default_backend() != "tpu":
+        return False
+    from sert_tpu.ops.xent import LANES, plain_xent_te
+    try:
+        plain_xent_te(max(-(-cfg.entity_dim // LANES) * LANES, LANES))
+    except ValueError:
+        return False
+    return True
+
+
 def loss_sampled_softmax(params: Params, batch, cfg: ModelConfig,
                          rng: jax.Array = None,
                          negatives: Optional[jax.Array] = None,
@@ -158,6 +181,15 @@ def loss_sampled_softmax(params: Params, batch, cfg: ModelConfig,
     cand = ent[negatives]                                               # [k, de]
     s_pos = jnp.sum(reps * ent[pos], axis=-1)                           # [B]
     corr = logq[negatives] + jnp.log(jnp.float32(k))                    # [k]
+    if _use_fused_sampled(cfg, k):
+        # Flash path: the masked lse over the shared candidates comes out
+        # of one Pallas sweep with no [B, k] logits in HBM; the loss is the
+        # algebraically identical softplus form
+        #   lse([s_pos, s_neg*]) - s_pos = softplus(lse(s_neg*) - s_pos).
+        from sert_tpu.ops.sampled_lse import sampled_lse
+        lse_neg = sampled_lse(reps, cand, corr, negatives, pos,
+                              dtype=cfg.compute_dtype)                  # [B]
+        return jnp.mean(jax.nn.softplus(lse_neg - s_pos))
     s_neg = (jnp.dot(reps, cand.T, preferred_element_type=jnp.float32)
              - corr[None, :])                                           # [B, k]
     hit = negatives[None, :] == pos[:, None]

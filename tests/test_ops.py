@@ -420,3 +420,132 @@ class TestAdaptiveAcceptanceMargin:
         prep = prepare_entities(M)
         with pytest.raises(ValueError, match="adaptive_bins"):
             exact_topk_prepared(R, prep, k=200, adaptive_bins=1)
+
+
+class TestSampledLse:
+    """ops/sampled_lse: the flash masked-lse over shared sampled-softmax
+    candidates (the [B, k] logits never reach HBM) vs the XLA composition
+    models/lse.loss_sampled_softmax builds."""
+
+    def _ref(self, reps, cand, corr, ids, pos):
+        z = (reps.astype(jnp.float32) @ cand.astype(jnp.float32).T
+             - corr[None, :])
+        z = jnp.where(ids[None, :] == pos[:, None], -1e30, z)
+        return jax.scipy.special.logsumexp(z, axis=-1)
+
+    def _case(self, seed, B, k, d, E=500, hits=True):
+        rng = np.random.default_rng(seed)
+        reps = jnp.asarray(rng.normal(size=(B, d)).astype(np.float32))
+        cand = jnp.asarray(rng.normal(size=(k, d)).astype(np.float32) * 0.3)
+        corr = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+        ids = rng.integers(0, E, size=k).astype(np.int32)
+        pos = rng.integers(0, E, size=B).astype(np.int32)
+        if hits:  # force accidental hits: some candidates ARE row positives
+            ids[: min(B, k)] = pos[: min(B, k)]
+        return reps, cand, corr, jnp.asarray(ids), jnp.asarray(pos)
+
+    @pytest.mark.parametrize("B,k,d", [(20, 300, 24), (8, 256, 128),
+                                       (16, 129, 40)])
+    def test_fwd_and_grads_match_xla(self, B, k, d):
+        from sert_tpu.ops.sampled_lse import sampled_lse
+        reps, cand, corr, ids, pos = self._case(B + k, B, k, d)
+        w = jnp.asarray(np.random.default_rng(1).normal(size=(B,))
+                        .astype(np.float32))
+        f = lambda r, c, co: jnp.sum(w * sampled_lse(r, c, co, ids, pos,
+                                                     8, 128))
+        r_ = lambda r, c, co: jnp.sum(w * self._ref(r, c, co, ids, pos))
+        np.testing.assert_allclose(np.asarray(f(reps, cand, corr)),
+                                   np.asarray(r_(reps, cand, corr)),
+                                   rtol=1e-5)
+        gf = jax.grad(f, argnums=(0, 1, 2))(reps, cand, corr)
+        gr = jax.grad(r_, argnums=(0, 1, 2))(reps, cand, corr)
+        for a, c in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_auto_te_and_default_tb(self):
+        """Production defaults (tb=256, te=None) on a ragged-k case."""
+        from sert_tpu.ops.sampled_lse import sampled_lse
+        reps, cand, corr, ids, pos = self._case(5, 12, 700, 48)
+        out = sampled_lse(reps, cand, corr, ids, pos)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(self._ref(reps, cand, corr,
+                                                        ids, pos)),
+                                   rtol=1e-5)
+
+    def test_all_masked_row_softplus_loss_and_grad_zero(self):
+        """A row whose EVERY candidate is an accidental hit contributes
+        ~zero loss and exactly-zero gradient through the softplus form the
+        model uses (the documented contract; the raw lse is ~-1e30)."""
+        from sert_tpu.ops.sampled_lse import sampled_lse
+        reps, cand, corr, ids, pos = self._case(9, 6, 40, 16, hits=False)
+        ids = jnp.full_like(ids, 7)
+        pos = pos.at[2].set(7)  # row 2: all 40 candidates masked
+        s_pos = jnp.asarray(np.random.default_rng(2).normal(size=(6,))
+                            .astype(np.float32))
+
+        def loss(r, c, co):
+            return jnp.sum(jax.nn.softplus(
+                sampled_lse(r, c, co, ids, pos, 8, 128) - s_pos))
+
+        def ref(r, c, co):
+            return jnp.sum(jax.nn.softplus(
+                self._ref(r, c, co, ids, pos) - s_pos))
+
+        out = sampled_lse(reps, cand, corr, ids, pos, 8, 128)
+        assert float(out[2]) < -1e29
+        np.testing.assert_allclose(np.asarray(loss(reps, cand, corr)),
+                                   np.asarray(ref(reps, cand, corr)),
+                                   rtol=1e-5)
+        gf = jax.grad(loss, argnums=(0, 1, 2))(reps, cand, corr)
+        gr = jax.grad(ref, argnums=(0, 1, 2))(reps, cand, corr)
+        assert not np.any(np.asarray(gf[0][2]))  # row 2's dreps is exactly 0
+        for a, c in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_bf16_candidates_and_compute(self):
+        """bf16 storage + bf16 MXU tiles stay within bf16 tolerance of the
+        fp32 XLA reference (same numeric class as ops/xent's dtype knob)."""
+        from sert_tpu.ops.sampled_lse import sampled_lse
+        reps, cand, corr, ids, pos = self._case(11, 8, 200, 32)
+        cand16 = cand.astype(jnp.bfloat16)
+        out = sampled_lse(reps, cand16, corr, ids, pos, 8, 128, None,
+                          "bfloat16")
+        ref = self._ref(reps, cand16, corr, ids, pos)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0.02, atol=0.05)
+        g = jax.grad(lambda c: jnp.sum(sampled_lse(reps, c, corr, ids, pos,
+                                                   8, 128, None,
+                                                   "bfloat16")))(cand16)
+        assert g.dtype == jnp.bfloat16 and bool(jnp.isfinite(
+            g.astype(jnp.float32)).all())
+
+    def test_model_sampled_loss_fused_matches_unfused(self):
+        """loss_sampled_softmax with fused_softmax='on' equals the XLA
+        composition, values and gradients (the lse.py integration)."""
+        from sert_tpu.models import lse
+        from sert_tpu.utils.config import ModelConfig
+        rng = np.random.default_rng(13)
+        B, V, E, k = 16, 60, 40, 12
+        batch = {"windows": rng.integers(0, V, size=(B, 5)).astype(np.int32),
+                 "lengths": np.full(B, 5, np.int32),
+                 "entities": rng.integers(0, E, size=B).astype(np.int32)}
+        negatives = jnp.asarray(rng.integers(0, E, size=k).astype(np.int32))
+        base = ModelConfig(model="lse", objective="sampled_softmax",
+                           vocab_size=V, num_entities=E, word_dim=12,
+                           entity_dim=8, num_negatives=k)
+        params = lse.init(jax.random.key(4), base)
+        on, off = base.replace(fused_softmax="on"), base.replace(
+            fused_softmax="off")
+        f_on = lambda p: lse.loss_sampled_softmax(p, batch, on,
+                                                  negatives=negatives)
+        f_off = lambda p: lse.loss_sampled_softmax(p, batch, off,
+                                                   negatives=negatives)
+        assert float(f_on(params)) == pytest.approx(float(f_off(params)),
+                                                    rel=1e-5)
+        g_on, g_off = jax.grad(f_on)(params), jax.grad(f_off)(params)
+        for key in g_on:
+            np.testing.assert_allclose(np.asarray(g_on[key]),
+                                       np.asarray(g_off[key]),
+                                       rtol=1e-3, atol=1e-5, err_msg=key)

@@ -136,6 +136,38 @@ def _use_fused_sampled(cfg: ModelConfig, k: int) -> bool:
     return True
 
 
+def sampled_softmax_inputs(params: Params, batch, cfg: ModelConfig,
+                           rng: jax.Array = None,
+                           negatives: Optional[jax.Array] = None,
+                           noise: Optional[jax.Array] = None):
+    """Shared prep for the sampled-softmax objective's loss formulations.
+
+    Returns ``(reps [B,de], cand [k,de], corr [k], negatives [k] int,
+    pos [B] int, s_pos [B])`` — everything downstream of the pooling
+    front and candidate gather, consumed identically by the XLA
+    composition, the single-device fused kernel, and the mesh-sharded
+    fused loss (parallel/fused_loss.make_sharded_sampled_loss). The
+    gathers stay OUT of any kernel/shard_map so GSPMD partitions them
+    against a model-sharded entity table on meshes.
+    """
+    reps = window_rep(params, batch["windows"], batch["lengths"], cfg)  # [B, de]
+    if noise is None:
+        # Barrier: see loss() — prevents compile-time folding of the
+        # sampling pipeline built on a constant table.
+        noise = jax.lax.optimization_barrier(
+            jnp.zeros((cfg.num_entities,), jnp.float32))
+    logq = jax.nn.log_softmax(noise.astype(jnp.float32))                # [E]
+    if negatives is None:
+        negatives = sample_negatives(rng, noise, 1, cfg)[0]             # [k]
+    k = negatives.shape[0]
+    ent = params["entity_emb"].astype(jnp.float32)
+    pos = batch["entities"]
+    cand = ent[negatives]                                               # [k, de]
+    s_pos = jnp.sum(reps * ent[pos], axis=-1)                           # [B]
+    corr = logq[negatives] + jnp.log(jnp.float32(k))                    # [k]
+    return reps, cand, corr, negatives, pos, s_pos
+
+
 def loss_sampled_softmax(params: Params, batch, cfg: ModelConfig,
                          rng: jax.Array = None,
                          negatives: Optional[jax.Array] = None,
@@ -166,21 +198,9 @@ def loss_sampled_softmax(params: Params, batch, cfg: ModelConfig,
     still touch only k + B entity rows per step (the scaling story that
     makes LSE viable at large E stays intact).
     """
-    reps = window_rep(params, batch["windows"], batch["lengths"], cfg)  # [B, de]
-    if noise is None:
-        # Barrier: see loss() — prevents compile-time folding of the
-        # sampling pipeline built on a constant table.
-        noise = jax.lax.optimization_barrier(
-            jnp.zeros((cfg.num_entities,), jnp.float32))
-    logq = jax.nn.log_softmax(noise.astype(jnp.float32))                # [E]
-    if negatives is None:
-        negatives = sample_negatives(rng, noise, 1, cfg)[0]             # [k]
+    reps, cand, corr, negatives, pos, s_pos = sampled_softmax_inputs(
+        params, batch, cfg, rng=rng, negatives=negatives, noise=noise)
     k = negatives.shape[0]
-    ent = params["entity_emb"].astype(jnp.float32)
-    pos = batch["entities"]
-    cand = ent[negatives]                                               # [k, de]
-    s_pos = jnp.sum(reps * ent[pos], axis=-1)                           # [B]
-    corr = logq[negatives] + jnp.log(jnp.float32(k))                    # [k]
     if _use_fused_sampled(cfg, k):
         # Flash path: the masked lse over the shared candidates comes out
         # of one Pallas sweep with no [B, k] logits in HBM; the loss is the

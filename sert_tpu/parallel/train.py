@@ -30,6 +30,22 @@ def _want_fused(model_cfg: ModelConfig) -> bool:
     return _use_fused(model_cfg)
 
 
+def _want_fused_sampled(model_cfg: ModelConfig, mesh: Mesh) -> bool:
+    """Mesh gate for the fused sampled-softmax LSE loss. Same policy shape
+    as the single-device dispatch (models.lse._use_fused_sampled): "on"
+    forces it (the maker raises loudly on a mesh-indivisible candidate
+    count), "auto" additionally requires divisibility so infeasible
+    configurations fall back to the XLA composition instead of raising."""
+    if model_cfg.model != "lse" or model_cfg.objective != "sampled_softmax":
+        return False
+    if model_cfg.fused_softmax == "on":
+        return True
+    if model_cfg.num_negatives % mesh.shape["model"]:
+        return False
+    from sert_tpu.models.lse import _use_fused_sampled
+    return _use_fused_sampled(model_cfg, model_cfg.num_negatives)
+
+
 def make_sharded_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
                             mesh: Mesh, noise=None,
                             per_process_feed: bool = False):
@@ -65,6 +81,14 @@ def make_sharded_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         # is pinned off so it cannot double-fuse.
         from sert_tpu.parallel.fused_loss import make_sharded_fused_loss
         loss_override = make_sharded_fused_loss(model_cfg, mesh)
+        model_cfg = model_cfg.replace(fused_softmax="off")
+    elif mesh.size > 1 and _want_fused_sampled(model_cfg, mesh):
+        # Flagship objective on a mesh: batch over ``data``, shared
+        # candidates over ``model``, the flash sampled-lse kernel per shard
+        # (parallel/fused_loss.make_sharded_sampled_loss). Pin the inner
+        # dispatch off so the single-device kernel cannot double-fuse.
+        from sert_tpu.parallel.fused_loss import make_sharded_sampled_loss
+        loss_override = make_sharded_sampled_loss(model_cfg, mesh)
         model_cfg = model_cfg.replace(fused_softmax="off")
     elif mesh.size > 1 and model_cfg.fused_softmax == "auto":
         model_cfg = model_cfg.replace(fused_softmax="off")

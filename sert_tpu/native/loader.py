@@ -247,8 +247,15 @@ def _try_build(path: str) -> bool:
         fd, tmp = tempfile.mkstemp(suffix=".so",
                                    dir=os.path.dirname(path))
         os.close(fd)
+        # Portable codegen for the IMPLICIT first-use build: this .so may
+        # land in a package directory shared across heterogeneous hosts
+        # (NFS home, shared site-packages), where one host's
+        # -march=native binary can SIGILL on another. The explicit
+        # build.sh path keeps -march=native for single-host installs
+        # (round-4 ADVICE). The sweep is string/memory-bound, so the
+        # difference is marginal.
         subprocess.run(
-            [gxx, "-O3", "-march=native", "-shared", "-fPIC",
+            [gxx, "-O3", "-mtune=generic", "-shared", "-fPIC",
              "-o", tmp] + srcs,
             check=True, capture_output=True, timeout=120)
         os.replace(tmp, path)
@@ -280,8 +287,21 @@ def maybe_load() -> Optional[_NativeWindows]:
                      os.path.getmtime(s) for s in _sources()))
     except OSError:
         stale = not os.path.exists(path)
-    if stale and not _try_build(path) and not os.path.exists(path):
-        return None
+    if stale and not _try_build(path):
+        if not os.path.exists(path):
+            return None
+        # A library exists but is older than a source and the rebuild
+        # failed (no g++, read-only dir): loading it risks silently
+        # running outdated code against tests written for the new
+        # sources. Load it anyway (graceful-fallback contract — the
+        # AttributeError check below still catches missing symbols) but
+        # say so, loudly enough for CI logs (round-4 ADVICE).
+        import warnings
+        warnings.warn(
+            f"native library {path} is older than its sources and the "
+            "automatic rebuild failed; loading the STALE binary. Run "
+            "sert_tpu/native/build.sh (or delete the .so) to refresh.",
+            RuntimeWarning, stacklevel=2)
     try:
         _cached = _NativeWindows(ctypes.CDLL(path))
     except (OSError, AttributeError):

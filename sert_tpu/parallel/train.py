@@ -30,17 +30,25 @@ def _want_fused(model_cfg: ModelConfig) -> bool:
     return _use_fused(model_cfg)
 
 
-def _want_fused_sampled(model_cfg: ModelConfig, mesh: Mesh) -> bool:
+def _want_fused_sampled(model_cfg: ModelConfig, mesh: Mesh,
+                        model_axis: str = "model") -> bool:
     """Mesh gate for the fused sampled-softmax LSE loss. Same policy shape
     as the single-device dispatch (models.lse._use_fused_sampled): "on"
     forces it (the maker raises loudly on a mesh-indivisible candidate
     count), "auto" additionally requires divisibility so infeasible
-    configurations fall back to the XLA composition instead of raising."""
+    configurations fall back to the XLA composition instead of raising.
+
+    ``model_axis`` must be the SAME name the caller passes to
+    make_sharded_sampled_loss — the gate and the maker inspect the same
+    axis (round-4 ADVICE: the hardcoded "model" here could disagree with
+    the maker's configurable axis). A mesh without that axis falls back
+    under "auto" rather than raising."""
     if model_cfg.model != "lse" or model_cfg.objective != "sampled_softmax":
         return False
     if model_cfg.fused_softmax == "on":
         return True
-    if model_cfg.num_negatives % mesh.shape["model"]:
+    tp = dict(mesh.shape).get(model_axis)
+    if tp is None or model_cfg.num_negatives % tp:
         return False
     from sert_tpu.models.lse import _use_fused_sampled
     return _use_fused_sampled(model_cfg, model_cfg.num_negatives)
@@ -82,13 +90,16 @@ def make_sharded_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         from sert_tpu.parallel.fused_loss import make_sharded_fused_loss
         loss_override = make_sharded_fused_loss(model_cfg, mesh)
         model_cfg = model_cfg.replace(fused_softmax="off")
-    elif mesh.size > 1 and _want_fused_sampled(model_cfg, mesh):
+    elif mesh.size > 1 and _want_fused_sampled(model_cfg, mesh,
+                                               model_axis="model"):
         # Flagship objective on a mesh: batch over ``data``, shared
         # candidates over ``model``, the flash sampled-lse kernel per shard
         # (parallel/fused_loss.make_sharded_sampled_loss). Pin the inner
         # dispatch off so the single-device kernel cannot double-fuse.
+        # NOTE: the axis name here and in the gate above must match.
         from sert_tpu.parallel.fused_loss import make_sharded_sampled_loss
-        loss_override = make_sharded_sampled_loss(model_cfg, mesh)
+        loss_override = make_sharded_sampled_loss(model_cfg, mesh,
+                                                  model_axis="model")
         model_cfg = model_cfg.replace(fused_softmax="off")
     elif mesh.size > 1 and model_cfg.fused_softmax == "auto":
         model_cfg = model_cfg.replace(fused_softmax="off")

@@ -146,10 +146,35 @@ def _unflatten(template: Any, flat: Dict[str, np.ndarray],
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _cast_params(state: Any, dtype_name: str) -> Any:
+    """Cast floating ``.params`` leaves ON DEVICE (HBM->HBM, milliseconds).
+
+    Ordering is the point: the cast runs BEFORE the device->host fetch in
+    _flatten, so a bfloat16 snapshot moves HALF the bytes over the host
+    link — which is the measured critical path on the tunneled chip
+    (~5.6 MB/s; the fp32 params-only fetch at E=1M cost ~2 min/epoch,
+    benchmarks/NOTES.md round 4). Non-float leaves and host arrays pass
+    through untouched."""
+    import jax.numpy as jnp
+    dt = jnp.dtype(dtype_name)
+
+    def cast(leaf):
+        if (isinstance(leaf, jax.Array)
+                and jnp.issubdtype(leaf.dtype, jnp.floating)
+                and leaf.dtype != dt):
+            return leaf.astype(dt)
+        return leaf
+
+    if hasattr(state, "_replace") and hasattr(state, "params"):
+        return state._replace(params=jax.tree.map(cast, state.params))
+    return state
+
+
 def save_checkpoint(ckpt_dir: str, step: int, state: Any,
                     meta: Optional[Dict] = None,
                     max_to_keep: int = 0,
-                    params_only: bool = False) -> str:
+                    params_only: bool = False,
+                    params_dtype: Optional[str] = None) -> str:
     """Write ckpt-{step}.npz + ckpt-{step}.json atomically (tmp + rename).
 
     ``max_to_keep > 0`` prunes the oldest checkpoints beyond that count
@@ -162,12 +187,21 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
     full state. The optimizer leaves never leave the device. Such files
     serve scoring/sweep but NOT resume (latest_checkpoint full_only).
 
+    ``params_dtype`` (params_only files only): storage dtype for the param
+    leaves — "bfloat16" halves both the device->host fetch and the disk
+    bytes (TrainConfig.snapshot_dtype). The sidecar records it so
+    load_checkpoint can restore the carrier view before the template cast.
+
     Multi-host: collective — every process must call with the same step
     (see module docstring); only process 0 touches the filesystem, and all
     processes return after the write-complete barrier."""
     multi = jax.process_count() > 1
     base = os.path.join(ckpt_dir, f"ckpt-{step:08d}")
     keep = _params_only_keep if params_only else None
+    narrow = (params_only and params_dtype
+              and params_dtype != "float32")
+    if narrow:
+        state = _cast_params(state, params_dtype)
     flat = _flatten(state, keep)  # collective on a pod: all processes enter
     if multi and jax.process_index() != 0:
         _barrier(f"ckpt-{step}")  # wait for process 0's atomic rename
@@ -182,6 +216,8 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
     # with empty meta — that would resume at epoch 0 and skip the
     # vocab-hash guard.
     extra = {"params_only": True} if params_only else {}
+    if narrow:
+        extra["snapshot_dtype"] = params_dtype
     with open(base + ".json.tmp", "w") as fh:
         json.dump({"step": int(step), **extra, **(meta or {})}, fh, indent=2)
     os.replace(base + ".json.tmp", base + ".json")
@@ -272,11 +308,13 @@ class AsyncCheckpointer:
 
     def save(self, ckpt_dir: str, step: int, state: Any,
              meta: Optional[Dict] = None, max_to_keep: int = 0,
-             sync: bool = False, params_only: bool = False) -> None:
+             sync: bool = False, params_only: bool = False,
+             params_dtype: Optional[str] = None) -> None:
         if sync or jax.process_count() > 1:
             self.wait()
             save_checkpoint(ckpt_dir, step, state, meta,
-                            max_to_keep=max_to_keep, params_only=params_only)
+                            max_to_keep=max_to_keep, params_only=params_only,
+                            params_dtype=params_dtype)
             return
         self.wait()                      # serialize; re-raise prior failure
         if params_only and hasattr(state, "_replace"):
@@ -285,13 +323,19 @@ class AsyncCheckpointer:
             # would discard them anyway. keystr paths of .params/.step
             # are unaffected by emptying the sibling fields.
             state = state._replace(opt_state=(), rng=None)
+        if params_only and params_dtype and params_dtype != "float32":
+            # Cast BEFORE the copy: astype already allocates fresh buffers
+            # (donation-safe, same as _device_copy) at HALF the HBM
+            # footprint of holding an fp32 copy for the whole async write.
+            state = _cast_params(state, params_dtype)
         snap = _device_copy(state)
 
         def work() -> None:
             try:
                 save_checkpoint(ckpt_dir, step, snap, meta,
                                 max_to_keep=max_to_keep,
-                                params_only=params_only)
+                                params_only=params_only,
+                                params_dtype=params_dtype)
             except BaseException as exc:
                 self._err = exc
 
@@ -353,10 +397,25 @@ def load_checkpoint(path: str, template: Any) -> Tuple[Any, Dict]:
     Params-only snapshots (sidecar ``params_only``) fill ``.params`` and
     ``.step`` and leave the other template leaves verbatim — valid for
     scoring/sweep, never handed to resume (the loop restricts resume
-    discovery to full checkpoints)."""
+    discovery to full checkpoints).
+
+    Narrow-dtype snapshots (sidecar ``snapshot_dtype``, e.g. "bfloat16"):
+    the param floats traveled as a same-width uint carrier (_storable);
+    view them back through the RECORDED dtype first, then _unflatten's
+    template cast widens to whatever the consumer runs (fp32 template ->
+    numeric bf16->fp32 cast; bf16 template -> no-op view). Without this
+    step the uint16 carrier would be numerically cast into garbage."""
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
     meta = load_meta(path)
+    sdt = meta.get("snapshot_dtype")
+    if sdt and sdt != "float32":
+        import ml_dtypes
+        dt = np.dtype(getattr(ml_dtypes, sdt))
+        for k, arr in flat.items():
+            if (k.startswith(".params") and arr.dtype.kind == "u"
+                    and arr.dtype.itemsize == dt.itemsize):
+                flat[k] = arr.view(dt)
     return _unflatten(template, flat,
                       allow_missing=bool(meta.get("params_only"))), meta
 

@@ -374,13 +374,27 @@ def train(
                 # optimizer moments never leave the device); the FINAL
                 # epoch always writes full state so a finished run is an
                 # exact resume/continuation point.
-                p_only = (getattr(tcfg, "epoch_snapshot", "full") == "params"
-                          and epoch + 1 < tcfg.num_epochs)
-                saver.save(
-                    ckpt_dir, step_i, state,
-                    {"epoch": epoch + 1, "cursor": None, **meta_common},
-                    max_to_keep=tcfg.keep_checkpoints, sync=sync_saves,
-                    params_only=p_only)
+                # epoch_snapshot_every=N skips intermediate snapshots on
+                # non-multiple epochs entirely (the final epoch always
+                # writes) — on snapshot-bound hosts the per-epoch fetch is
+                # the e2e critical path (NOTES.md round 4: the fused
+                # kernel's 1.32x step win was erased by snapshot bytes).
+                final = epoch + 1 == tcfg.num_epochs
+                every = max(1, getattr(tcfg, "epoch_snapshot_every", 1))
+                if final or (epoch + 1) % every == 0:
+                    p_only = (getattr(tcfg, "epoch_snapshot", "full")
+                              == "params" and not final)
+                    saver.save(
+                        ckpt_dir, step_i, state,
+                        {"epoch": epoch + 1, "cursor": None, **meta_common},
+                        max_to_keep=tcfg.keep_checkpoints, sync=sync_saves,
+                        params_only=p_only,
+                        params_dtype=(getattr(tcfg, "snapshot_dtype",
+                                              "float32")
+                                      if p_only else None))
+                else:
+                    jlog.log("epoch_snapshot_skipped", epoch=epoch,
+                             step=step_i, every=every)
             log.info("epoch %d done at step %d%s", epoch, step_i,
                      (" (mean logged loss %.4f)" % float(np.mean(epoch_losses)))
                      if epoch_losses else "")

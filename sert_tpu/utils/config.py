@@ -186,6 +186,24 @@ class TrainConfig:
     # full fetch is ~1.9 GB/epoch over the host link; "params" cuts it
     # to ~0.65 GB.
     epoch_snapshot: str = "full"    # "full" | "params"
+    # Storage dtype for params-only INTERMEDIATE epoch snapshots. The
+    # round-4 flagship e2e was snapshot-bound: the 0.65 GB fp32 params
+    # fetch over the ~5.6 MB/s tunneled host link (~2 min/epoch) erased
+    # the fused kernel's 1.32x step win (benchmarks/NOTES.md round 4).
+    # "bfloat16" casts params ON DEVICE before the host fetch — half the
+    # bytes over the link AND on disk. Query/sweep consumers already run
+    # bf16 compute, so rankings are unchanged (test_checkpoint parity).
+    # The FINAL epoch always writes full fp32 state (exact resume), and
+    # full-flavor snapshots ignore this knob (they exist to be resume
+    # points, which must be bit-exact).
+    snapshot_dtype: str = "float32"  # "float32" | "bfloat16"
+    # Write intermediate epoch snapshots only every N epochs (the final
+    # epoch always writes). 1 = every epoch (reference behavior). On
+    # snapshot-bound hosts this divides the per-epoch fetch/write cost;
+    # the trade is sweep granularity and, for epoch_snapshot="full",
+    # resume granularity (a crash loses up to N epochs, SURVEY.md
+    # section 6's "at most one epoch" contract relaxes to N).
+    epoch_snapshot_every: int = 1
 
 
 @dataclass(frozen=True)

@@ -34,7 +34,9 @@ import numpy as np
 
 
 def build_recipe(E, vocab_size, epochs=3, lr_schedule="constant",
-                 num_negatives=1024, model="lse"):
+                 num_negatives=1024, model="lse",
+                 snapshot_dtype="float32", snapshot_every=1,
+                 param_dtype="float32", sparse_update="auto"):
     from sert_tpu.utils.config import (DataConfig, ModelConfig, RecipeConfig,
                                        ScoreConfig, TrainConfig)
     dcfg = DataConfig(window_size=8, vocab_min_count=1, vocab_max_size=300_000)
@@ -47,12 +49,18 @@ def build_recipe(E, vocab_size, epochs=3, lr_schedule="constant",
         # ladder): the SAME window_rep/tanh geometry trained with the full
         # softmax over all E entities via the fused Pallas xent kernel —
         # the limit the importance-corrected sampled estimator converges to.
+        # param_dtype="bfloat16" + sparse_update="on" is the E=10M memory
+        # configuration: fp32 params + dense adam moments are ~15.4 GB
+        # against 16 GB HBM, while bf16 params/moments (~7.7 GB) + lazy
+        # row-scatter updates fit with room for the gathered candidates
+        # (round-4 VERDICT item 1).
         model=ModelConfig(model=model, vocab_size=vocab_size, num_entities=E,
                           word_dim=128, entity_dim=128,
                           objective="sampled_softmax",
                           num_negatives=num_negatives,
                           negative_distribution="unigram",
-                          compute_dtype="bfloat16"),
+                          compute_dtype="bfloat16",
+                          param_dtype=param_dtype),
         # steps_per_call=4, not 16: the scan-of-16 program at E=1M wedges
         # the remote compile service for 50+ minutes; the 4-step scan
         # compiles in ~20-270s and the step itself runs at ~13 ms either
@@ -68,6 +76,9 @@ def build_recipe(E, vocab_size, epochs=3, lr_schedule="constant",
                           optimizer="adam",
                           learning_rate=3e-3, steps_per_call=4,
                           log_every_steps=200, epoch_snapshot="params",
+                          snapshot_dtype=snapshot_dtype,
+                          epoch_snapshot_every=snapshot_every,
+                          sparse_update=sparse_update,
                           **sched),
         # top_k=1000: recall@1000 is BASELINE.json's headline metric; the
         # SMEM-chunked bin path was proven at 10M and this makes depth-1000
@@ -80,7 +91,9 @@ _METRICS = ("ndcg@100", "recip_rank", "recall@100", "recall@1000", "p@5")
 
 def run_pipeline(workdir, E, run_name="run", epochs=3,
                  lr_schedule="constant", docs_per_entity=1,
-                 num_negatives=1024, model="lse"):
+                 num_negatives=1024, model="lse",
+                 snapshot_dtype="float32", snapshot_every=1,
+                 param_dtype="float32", sparse_update="auto"):
     from sert_tpu import pipeline
     from sert_tpu.data import Associations, EntityRegistry, Vocabulary
     from sert_tpu.data.prepare import encode_queries, prepare
@@ -99,7 +112,11 @@ def run_pipeline(workdir, E, run_name="run", epochs=3,
     reg = EntityRegistry(col.entities)
     ddir = os.path.join(workdir, "data")
     recipe = build_recipe(E, 0, epochs=epochs, lr_schedule=lr_schedule,
-                          num_negatives=num_negatives, model=model)
+                          num_negatives=num_negatives, model=model,
+                          snapshot_dtype=snapshot_dtype,
+                          snapshot_every=snapshot_every,
+                          param_dtype=param_dtype,
+                          sparse_update=sparse_update)
     if os.path.exists(os.path.join(ddir, "instances.meta.json")):
         print("prepare: reusing existing data dir", flush=True)
     else:
@@ -119,6 +136,18 @@ def run_pipeline(workdir, E, run_name="run", epochs=3,
     train_s = time.time() - t0
     print(f"train {train_s:.0f}s ({steps} steps, "
           f"{steps/max(train_s,1e-9):.1f} steps/s)", flush=True)
+    # Peak-HBM ledger (the 10M training row's memory evidence): libtpu
+    # exposes allocator stats per device; absent fields degrade quietly.
+    try:
+        import jax
+        stats = jax.local_devices()[0].memory_stats() or {}
+        ledger = {k: stats[k] for k in ("bytes_in_use", "peak_bytes_in_use",
+                                        "bytes_limit") if k in stats}
+        if ledger:
+            gib = {k: round(v / 2**30, 2) for k, v in ledger.items()}
+            print(f"hbm ledger (GiB): {gib}", flush=True)
+    except Exception as e:  # pragma: no cover - platform-dependent
+        print(f"hbm ledger unavailable: {e}", flush=True)
 
     vocab = Vocabulary.load(ddir + "/vocab.json")
     encoded = encode_queries(col.topics, vocab, recipe.data)
@@ -347,6 +376,27 @@ if __name__ == "__main__":
                     help="batch-shared sampled-softmax candidates (one "
                          "MXU matmul scores them all, so 2048 is nearly "
                          "free — the round-4 softmax-fidelity probe)")
+    ap.add_argument("--snapshot-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="storage dtype for intermediate params-only epoch "
+                         "snapshots (TrainConfig.snapshot_dtype): bfloat16 "
+                         "halves the per-epoch device->host fetch that "
+                         "round 4 measured as the e2e critical path")
+    ap.add_argument("--snapshot-every", type=int, default=1,
+                    help="write intermediate epoch snapshots every N "
+                         "epochs (TrainConfig.epoch_snapshot_every)")
+    ap.add_argument("--param-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="parameter storage dtype (ModelConfig.param_dtype):"
+                         " bfloat16 halves params AND optimizer moments — "
+                         "the E=10M enabler (fp32+adam is ~15.4 GB vs 16 GB"
+                         " HBM)")
+    ap.add_argument("--sparse-update", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="row-sparse lazy optimizer (train/sparse.py): 'on'"
+                         " forces lazy adam so optimizer HBM traffic scales"
+                         " with touched rows, not E — required for "
+                         "tolerable step time at E=10M")
     ap.add_argument("--model", default="lse", choices=["lse", "lse_full"],
                     help="lse_full = the exact full-softmax anchor through "
                          "the fused Pallas xent kernel (the negatives "
@@ -379,4 +429,8 @@ if __name__ == "__main__":
         run_pipeline(args.workdir, args.entities, run_name=args.run_name,
                      epochs=args.epochs, lr_schedule=args.lr_schedule,
                      docs_per_entity=args.docs_per_entity,
-                     num_negatives=args.num_negatives, model=args.model)
+                     num_negatives=args.num_negatives, model=args.model,
+                     snapshot_dtype=args.snapshot_dtype,
+                     snapshot_every=args.snapshot_every,
+                     param_dtype=args.param_dtype,
+                     sparse_update=args.sparse_update)

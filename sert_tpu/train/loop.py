@@ -55,6 +55,10 @@ def train(
     mcfg, tcfg = recipe.model, recipe.train
     os.makedirs(out_dir, exist_ok=True)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
+    # Warmup decomposition (round-4 weak #4: ~310 s of unexplained
+    # pre-epoch-0 wall in the flagship run). Cheap perf_counter marks,
+    # logged once at the first step of the first epoch.
+    t_enter = time.perf_counter()
 
     # Resume must continue with the opt_state flavor the checkpoint HOLDS:
     # sparse_update="auto" resolving differently than at save time (new
@@ -182,7 +186,10 @@ def train(
         def init_fn():
             return init_state(jax.random.key(tcfg.seed), mcfg, tcfg)
 
+    t_setup = time.perf_counter()       # noise + step construction done
     state = init_fn()
+    jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
+    t_init = time.perf_counter()        # device param init materialized
     state_template = state
     start_epoch, cursor = 0, None
     latest = (ckpt.latest_checkpoint(ckpt_dir, full_only=True)
@@ -295,6 +302,8 @@ def train(
             feed_wait = 0.0
             verify_counter = True
             batch_iter = iter(feeder)
+            t_first_feed = time.perf_counter()
+            t_first = None
             while True:
                 t_f = time.perf_counter()
                 try:
@@ -302,6 +311,8 @@ def train(
                 except StopIteration:
                     break
                 feed_wait += time.perf_counter() - t_f
+                if t_first is None:
+                    t_first = time.perf_counter()
                 state, metrics = train_step(state, dev_batch)
                 last_cursor = next_cursor
                 step_i += n_micro
@@ -320,6 +331,22 @@ def train(
                             f"expected {step_i} (n_micro={n_micro}); the "
                             "loop's host-tracked counter requires one "
                             "increment per micro-step")
+                    if epoch == start_epoch:
+                        # One-time warmup decomposition: this int() is the
+                        # first device sync of the run, so (now - t_first)
+                        # covers the first step's compile+execute — the
+                        # round-4 flagship's ~310 s pre-epoch-0 mystery
+                        # lived somewhere in these stages.
+                        now = time.perf_counter()
+                        warm = dict(setup_s=round(t_setup - t_enter, 2),
+                                    init_s=round(t_init - t_setup, 2),
+                                    resume_feeder_s=round(t_first_feed
+                                                          - t_init, 2),
+                                    first_batch_s=round(t_first - t_first_feed,
+                                                        2),
+                                    first_step_s=round(now - t_first, 2))
+                        log.info("warmup: %s", warm)
+                        jlog.log("warmup", **warm)
                 # "crossed a multiple" tests: steps advance n_micro at a time.
                 if (tcfg.log_every_steps
                         and step_i % tcfg.log_every_steps < n_micro):

@@ -277,6 +277,7 @@ def train(
     sync_saves = not tcfg.async_checkpoint
     try:
         for epoch in range(start_epoch, tcfg.num_epochs):
+            t_loop0 = time.perf_counter()
             epoch_cursor = cursor if epoch == start_epoch else None
             batches = dataset.iter_batches(feed_batch, epoch=epoch,
                                            start_cursor=epoch_cursor,
@@ -340,8 +341,15 @@ def train(
                         now = time.perf_counter()
                         warm = dict(setup_s=round(t_setup - t_enter, 2),
                                     init_s=round(t_init - t_setup, 2),
-                                    resume_feeder_s=round(t_first_feed
-                                                          - t_init, 2),
+                                    # resume probe + meta + jlog + batch
+                                    # counting, feeder construction, and
+                                    # the first int(state.step) device
+                                    # sync, separately (the round-4
+                                    # flagship hid ~110 s in their sum)
+                                    pre_loop_s=round(t_loop0 - t_init, 2),
+                                    feeder_ctor_s=round(t_last - t_loop0, 2),
+                                    step_sync_s=round(t_first_feed - t_last,
+                                                      2),
                                     first_batch_s=round(t_first - t_first_feed,
                                                         2),
                                     first_step_s=round(now - t_first, 2))

@@ -36,7 +36,8 @@ import numpy as np
 def build_recipe(E, vocab_size, epochs=3, lr_schedule="constant",
                  num_negatives=1024, model="lse",
                  snapshot_dtype="float32", snapshot_every=1,
-                 param_dtype="float32", sparse_update="auto"):
+                 param_dtype="float32", sparse_update="auto",
+                 final_snapshot="full"):
     from sert_tpu.utils.config import (DataConfig, ModelConfig, RecipeConfig,
                                        ScoreConfig, TrainConfig)
     dcfg = DataConfig(window_size=8, vocab_min_count=1, vocab_max_size=300_000)
@@ -79,6 +80,7 @@ def build_recipe(E, vocab_size, epochs=3, lr_schedule="constant",
                           snapshot_dtype=snapshot_dtype,
                           epoch_snapshot_every=snapshot_every,
                           sparse_update=sparse_update,
+                          final_snapshot=final_snapshot,
                           **sched),
         # top_k=1000: recall@1000 is BASELINE.json's headline metric; the
         # SMEM-chunked bin path was proven at 10M and this makes depth-1000
@@ -93,7 +95,8 @@ def run_pipeline(workdir, E, run_name="run", epochs=3,
                  lr_schedule="constant", docs_per_entity=1,
                  num_negatives=1024, model="lse",
                  snapshot_dtype="float32", snapshot_every=1,
-                 param_dtype="float32", sparse_update="auto"):
+                 param_dtype="float32", sparse_update="auto",
+                 final_snapshot="full"):
     from sert_tpu import pipeline
     from sert_tpu.data import Associations, EntityRegistry, Vocabulary
     from sert_tpu.data.prepare import encode_queries, prepare
@@ -116,7 +119,8 @@ def run_pipeline(workdir, E, run_name="run", epochs=3,
                           snapshot_dtype=snapshot_dtype,
                           snapshot_every=snapshot_every,
                           param_dtype=param_dtype,
-                          sparse_update=sparse_update)
+                          sparse_update=sparse_update,
+                          final_snapshot=final_snapshot)
     if os.path.exists(os.path.join(ddir, "instances.meta.json")):
         print("prepare: reusing existing data dir", flush=True)
     else:
@@ -391,6 +395,14 @@ if __name__ == "__main__":
                          " bfloat16 halves params AND optimizer moments — "
                          "the E=10M enabler (fp32+adam is ~15.4 GB vs 16 GB"
                          " HBM)")
+    ap.add_argument("--final-snapshot", default="full",
+                    choices=["full", "params"],
+                    help="final-epoch snapshot flavor "
+                         "(TrainConfig.final_snapshot): 'params' ends the "
+                         "run with a params-only snapshot at "
+                         "--snapshot-dtype — at E=10M the full bf16 adam "
+                         "state is a ~7.8 GB device->host fetch vs ~2.6 GB "
+                         "params-only; the run then cannot exactly resume")
     ap.add_argument("--sparse-update", default="auto",
                     choices=["auto", "on", "off"],
                     help="row-sparse lazy optimizer (train/sparse.py): 'on'"
@@ -433,4 +445,5 @@ if __name__ == "__main__":
                      snapshot_dtype=args.snapshot_dtype,
                      snapshot_every=args.snapshot_every,
                      param_dtype=args.param_dtype,
-                     sparse_update=args.sparse_update)
+                     sparse_update=args.sparse_update,
+                     final_snapshot=args.final_snapshot)

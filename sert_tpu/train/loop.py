@@ -417,8 +417,16 @@ def train(
                 final = epoch + 1 == tcfg.num_epochs
                 every = max(1, getattr(tcfg, "epoch_snapshot_every", 1))
                 if final or (epoch + 1) % every == 0:
+                    # final_snapshot="params" ends the run params-only at
+                    # snapshot_dtype (the E=10M regime: the full bf16 adam
+                    # state is a ~7.8 GB fetch over a ~10 MB/s link). The
+                    # run then has no exact continuation point — the
+                    # params-only resume warning above fires on restart.
                     p_only = (getattr(tcfg, "epoch_snapshot", "full")
-                              == "params" and not final)
+                              == "params"
+                              and (not final
+                                   or getattr(tcfg, "final_snapshot",
+                                              "full") == "params"))
                     saver.save(
                         ckpt_dir, step_i, state,
                         {"epoch": epoch + 1, "cursor": None, **meta_common},

@@ -204,6 +204,14 @@ class TrainConfig:
     # resume granularity (a crash loses up to N epochs, SURVEY.md
     # section 6's "at most one epoch" contract relaxes to N).
     epoch_snapshot_every: int = 1
+    # Flavor of the FINAL epoch's snapshot. "full" (default) keeps the
+    # exact-resume contract (params + optimizer + RNG, fp32). "params"
+    # ends the run with a params-only snapshot at ``snapshot_dtype``
+    # instead — for E=10M the full bf16 adam state is a ~7.8 GB
+    # device->host fetch over a link that moves ~10 MB/s, vs ~2.6 GB
+    # params-only; a finished run then serves query/sweep but cannot be
+    # exactly CONTINUED (resume restarts, with the loud loop.py warning).
+    final_snapshot: str = "full"    # "full" | "params"
 
 
 @dataclass(frozen=True)

@@ -752,6 +752,38 @@ class TestSnapshotDtypeAndCadence:
         newest_full = ckpt.latest_checkpoint(cdir, full_only=True)
         assert ckpt.load_meta(newest_full)["epoch"] == 5
 
+    def test_final_snapshot_params(self, tmp_path):
+        """final_snapshot="params": the run ends with a params-only
+        snapshot at snapshot_dtype and NO full checkpoint exists — the
+        E=10M ending, where the full bf16 adam state would be a ~7.8 GB
+        device->host fetch. Scoring still loads; resume has no exact
+        continuation point (latest full is None)."""
+        import ml_dtypes
+        from sert_tpu import pipeline
+        ds, _ = _prepared_dataset(tmp_path)
+        recipe = pipeline.resolve_model_config(
+            RecipeConfig(name="t", model=MCFG,
+                         train=self._tcfg(snapshot_dtype="bfloat16",
+                                          final_snapshot="params")),
+            ds.meta)
+        out = str(tmp_path / "run")
+        train(recipe, ds, out, deterministic_feed=True)
+        cdir = os.path.join(out, "checkpoints")
+        steps = sorted(ckpt.list_checkpoints(cdir))
+        assert len(steps) == 3                      # one per epoch
+        assert ckpt.latest_checkpoint(cdir, full_only=True) is None
+        last = ckpt.list_checkpoints(cdir)[steps[-1]]
+        meta = ckpt.load_meta(last)
+        assert meta.get("params_only") is True
+        assert meta.get("snapshot_dtype") == "bfloat16"
+        with np.load(last) as z:
+            assert all(z[k].dtype == np.uint16
+                       for k in z.files if k.startswith(".params"))
+        params, _, _ = pipeline.load_scorer(
+            out, str(tmp_path / "data"), recipe, step=steps[-1])
+        assert all(np.isfinite(np.asarray(v)).all()
+                   for v in params.values())
+
     def test_every_one_is_reference_behavior(self, tmp_path):
         ds, _ = _prepared_dataset(tmp_path)
         out = str(tmp_path / "run")

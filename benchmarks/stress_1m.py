@@ -153,6 +153,11 @@ def run_pipeline(workdir, E, run_name="run", epochs=3,
     except Exception as e:  # pragma: no cover - platform-dependent
         print(f"hbm ledger unavailable: {e}", flush=True)
 
+    # At E=10M the just-trained adam moments (~5 GB bf16) plus the scoring
+    # engine's staging exceed 16 GB HBM; scoring never reads them.
+    from sert_tpu.train.step import release_opt_state
+    state = release_opt_state(state)
+
     vocab = Vocabulary.load(ddir + "/vocab.json")
     encoded = encode_queries(col.topics, vocab, recipe.data)
     with open(os.path.join(workdir, "topics.json"), "w") as fh:

@@ -134,6 +134,28 @@ def _cluster_order(M: jax.Array, n_clusters: Optional[int] = None,
     return jnp.argsort(assign, stable=True).astype(jnp.int32)
 
 
+# "auto" rescore dtype: fp32 until the staged fp32 rescore copy alone
+# would exceed this many bytes, then bf16. 2 GiB keeps every measured
+# config through E=1M/d=128 (0.5 GB) on the fp32 default while the 10M
+# training-then-scoring geometry (5.1 GB fp32 copy, which OOMed 16 GB HBM
+# next to the just-trained params — round-5 10M run) drops to bf16, the
+# dtype the 10M scoring benchmark always ran at (benchmarks/sharded_bench).
+RESCORE_AUTO_FP32_LIMIT = 2 << 30
+
+
+def resolve_rescore_dtype(choice: str, num_entities: int, dim: int) -> str:
+    """Resolve a ScoreConfig.rescore_dtype of "auto" against the staging
+    footprint: "float32" below RESCORE_AUTO_FP32_LIMIT staged bytes, else
+    "bfloat16". Explicit choices pass through (validated)."""
+    if choice == "auto":
+        return ("bfloat16"
+                if num_entities * dim * 4 > RESCORE_AUTO_FP32_LIMIT
+                else "float32")
+    if choice not in ("float32", "bfloat16"):
+        raise ValueError(f"unknown rescore_dtype {choice!r}")
+    return choice
+
+
 def prepare_entities(M: jax.Array, te: int = 4096,
                      rescore_dtype: str = "float32",
                      prefilter_dtype: str = "bfloat16",

@@ -203,6 +203,10 @@ def run_end_to_end(col: SyntheticCollection, recipe: RecipeConfig,
 
     meta = prepare_collection(col, data_dir, recipe)
     state, recipe = train_from_dir(recipe, data_dir, run_dir)
+    # Scoring never reads optimizer state, and at large E adam's moments
+    # are GBs of HBM the engine staging needs (train/step.release_opt_state).
+    from sert_tpu.train.step import release_opt_state
+    state = release_opt_state(state)
 
     vocab = Vocabulary.load(os.path.join(data_dir, VOCAB_NAME))
     registry = EntityRegistry.load(os.path.join(data_dir, ENTITIES_NAME))

@@ -114,9 +114,11 @@ def score_topics(
     engine = resolve_engine(sc, E)
     mesh = None
     if engine == "pallas" and prep is None:
-        from sert_tpu.ops.exact_topk import prepare_entities
+        from sert_tpu.ops.exact_topk import (prepare_entities,
+                                             resolve_rescore_dtype)
+        rdt = resolve_rescore_dtype(sc.rescore_dtype, E, cfg.entity_dim)
         prep = prepare_entities(_entity_matrix(params, cfg, sc.similarity),
-                                layout=sc.layout)
+                                rescore_dtype=rdt, layout=sc.layout)
     elif engine == "distributed":
         staged = (prep if isinstance(prep, DistStaged)
                   else stage_distributed(params, cfg, sc))

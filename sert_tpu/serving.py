@@ -102,11 +102,15 @@ class EntitySearcher:
         self.prep = None
         engine = resolve_engine(self.score_cfg, self.num_entities)
         if engine == "pallas":
-            from sert_tpu.ops.exact_topk import prepare_entities
+            from sert_tpu.ops.exact_topk import (prepare_entities,
+                                                 resolve_rescore_dtype)
+            rdt = resolve_rescore_dtype(self.score_cfg.rescore_dtype,
+                                        self.num_entities,
+                                        self.recipe.model.entity_dim)
             self.prep = prepare_entities(
                 _entity_matrix(self.params, self.recipe.model,
                                self.score_cfg.similarity),
-                layout=self.score_cfg.layout)
+                rescore_dtype=rdt, layout=self.score_cfg.layout)
         elif engine == "distributed":
             # Mesh placement + per-shard Pallas staging once, not per query
             # (score_topics otherwise re-stages the entity matrix per call).

@@ -28,6 +28,25 @@ class TrainState(NamedTuple):
     rng: jax.Array           # PRNG key consumed for negative sampling
 
 
+def release_opt_state(state: TrainState) -> TrainState:
+    """Free the optimizer state's device buffers; returns the state with
+    ``opt_state=()``.
+
+    For train-then-score in one process at large E this is the difference
+    between fitting and OOM: adam's mu/nu over a [10M, 128] entity table is
+    ~5 GB that the scoring engine's staging would otherwise have to coexist
+    with (the round-5 10M run hit exactly this). Call it after the final
+    checkpoint is written — the returned state can score but NOT resume."""
+    for leaf in jax.tree_util.tree_leaves(state.opt_state):
+        delete = getattr(leaf, "delete", None)
+        if delete is not None:
+            try:
+                delete()
+            except Exception:  # already donated/deleted buffers
+                pass
+    return state._replace(opt_state=())
+
+
 def check_optimizer_model_fit(model_cfg: ModelConfig,
                               train_cfg: TrainConfig) -> None:
     """Warn on the measured adafactor/LSE footgun.

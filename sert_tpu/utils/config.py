@@ -250,6 +250,12 @@ class ScoreConfig:
     # bytes, the engine's one remaining HBM-bound stage.
     layout: str = "natural"                 # "natural" | "clustered"
     adaptive_bins: int = 0                  # 0 = rescore all k+pad bins
+    # Staged rescore-copy dtype for the pallas engine. "auto" = fp32 until
+    # the staged fp32 copy would exceed ops.exact_topk's byte limit (2 GiB:
+    # every config through E=1M stays fp32-exact), then bf16 — at E=10M the
+    # fp32 staging next to just-trained params exceeds 16 GB HBM, and bf16
+    # is the dtype the 10M scoring benchmark always measured at.
+    rescore_dtype: str = "auto"             # "auto" | "float32" | "bfloat16"
 
 
 @dataclass(frozen=True)

@@ -549,3 +549,78 @@ class TestSampledLse:
             np.testing.assert_allclose(np.asarray(g_on[key]),
                                        np.asarray(g_off[key]),
                                        rtol=1e-3, atol=1e-5, err_msg=key)
+
+
+class TestRescoreDtype:
+    """ScoreConfig.rescore_dtype="auto" (round-5): the 10M train-then-score
+    OOM fix. Policy unit test + bf16-staged ranking agreement."""
+
+    def test_auto_policy_thresholds(self):
+        from sert_tpu.ops.exact_topk import (RESCORE_AUTO_FP32_LIMIT,
+                                             resolve_rescore_dtype)
+        # The measured configs: 1M stays fp32-exact, 10M drops to bf16.
+        assert resolve_rescore_dtype("auto", 1_000_000, 128) == "float32"
+        assert resolve_rescore_dtype("auto", 10_000_000, 128) == "bfloat16"
+        e_at = RESCORE_AUTO_FP32_LIMIT // (128 * 4)
+        assert resolve_rescore_dtype("auto", e_at, 128) == "float32"
+        assert resolve_rescore_dtype("auto", e_at + 1, 128) == "bfloat16"
+        # Explicit choices pass through regardless of size.
+        assert resolve_rescore_dtype("float32", 10**9, 128) == "float32"
+        assert resolve_rescore_dtype("bfloat16", 10, 8) == "bfloat16"
+        with pytest.raises(ValueError):
+            resolve_rescore_dtype("float16", 10, 8)
+
+    def test_bf16_rescore_ranking_agrees(self):
+        """bf16-staged rescore must return the same winner SET as fp32 on
+        continuous random data (scores are bf16-rounded, so compare the
+        index sets and fp64-recomputed score agreement, not raw scores)."""
+        from sert_tpu.ops.exact_topk import (exact_topk_prepared,
+                                             prepare_entities)
+        rng = np.random.default_rng(23)
+        R, M = _data(rng, E=1500)
+        p32 = prepare_entities(M)
+        p16 = prepare_entities(M, rescore_dtype="bfloat16")
+        assert p16.M_binned.dtype == jnp.bfloat16
+        assert p32.M_binned.dtype == jnp.float32
+        s0, i0 = exact_topk_prepared(R, p32, k=40)
+        s1, i1 = exact_topk_prepared(R, p16, k=40)
+        ref = _ref_scores(R, M)
+        for q in range(R.shape[0]):
+            want = set(np.argsort(-ref[q])[:40].tolist())
+            got16 = set(np.asarray(i1[q]).tolist())
+            # bf16 rescore can swap entries whose fp64 margin is below bf16
+            # resolution; on N(0,1) dot products at d=32 that is rare —
+            # allow at most 2 boundary swaps out of 40.
+            assert len(want - got16) <= 2, (q, sorted(want - got16))
+        np.testing.assert_allclose(np.asarray(s1, np.float32),
+                                   np.take_along_axis(
+                                       ref, np.asarray(i1), axis=1),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_score_topics_resolves_auto(self, monkeypatch):
+        """score_topics must thread the RESOLVED dtype into staging."""
+        import importlib
+        # sert_tpu.ops.__init__ re-exports a FUNCTION named exact_topk, so
+        # fetch the module object itself for patching.
+        et = importlib.import_module("sert_tpu.ops.exact_topk")
+        from sert_tpu.scoring import run as srun
+        seen = {}
+        real = et.prepare_entities
+
+        def spy(M, **kw):
+            seen.update(kw)
+            return real(M, **kw)
+
+        monkeypatch.setattr(srun, "resolve_engine", lambda sc, E: "pallas")
+        monkeypatch.setattr(et, "prepare_entities", spy)
+        from sert_tpu.models import api
+        from sert_tpu.scoring.run import score_topics
+        from sert_tpu.utils.config import ModelConfig, ScoreConfig
+        cfg = ModelConfig(model="lse", vocab_size=60, num_entities=300,
+                          word_dim=9, entity_dim=8)
+        params = api.init_params(jax.random.key(0), cfg)
+        enc = {"q1": [3, 5], "q2": [7]}
+        names = [f"e{i}" for i in range(300)]
+        score_topics(params, cfg, enc, names,
+                     ScoreConfig(top_k=10, rescore_dtype="bfloat16"))
+        assert seen.get("rescore_dtype") == "bfloat16"

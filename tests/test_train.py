@@ -792,3 +792,27 @@ class TestSnapshotDtypeAndCadence:
               ds, out, deterministic_feed=True)
         assert len(ckpt.list_checkpoints(os.path.join(out,
                                                       "checkpoints"))) == 3
+
+
+class TestReleaseOptState:
+    def test_release_frees_and_params_stay_usable(self):
+        """release_opt_state (round-5 10M OOM fix): opt buffers deleted,
+        params still score, state can no longer step."""
+        from sert_tpu.train.step import release_opt_state
+        state = init_state(jax.random.key(0), MCFG, TCFG)
+        jax.block_until_ready(jax.tree_util.tree_leaves(state.params))
+        opt_leaves = [l for l in jax.tree_util.tree_leaves(state.opt_state)
+                      if hasattr(l, "is_deleted")]
+        assert opt_leaves, "adam state should hold device arrays"
+        released = release_opt_state(state)
+        assert released.opt_state == ()
+        assert all(l.is_deleted() for l in opt_leaves)
+        # Params untouched: a forward scoring pass still works.
+        from sert_tpu.scoring.scorer import dense_scores
+        t = jnp.zeros((2, 3), jnp.int32)
+        n = jnp.ones((2,), jnp.int32)
+        s = dense_scores(released.params, MCFG, t, n)
+        assert np.isfinite(np.asarray(s)).all()
+        # Idempotent on an already-released state.
+        again = release_opt_state(released)
+        assert again.opt_state == ()

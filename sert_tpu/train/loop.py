@@ -183,8 +183,19 @@ def train(
         log.warning("packed_feed='on' ignored: an injected/sharded train "
                     "step consumes raw batches")
     if init_fn is None:
+        # ONE jitted program, not ~20 eager dispatches: on the
+        # remote-compile TPU platform every eager init op (each RNG
+        # normal, each optimizer zeros_like) is its own server-side
+        # compile, and those are individually too cheap for the
+        # persistent cache's entry threshold — so the flagship paid
+        # ~255 s of "step_sync" warmup at E=1M on EVERY run
+        # (benchmarks/init_probe.py measures eager vs jitted on the
+        # real chip; the warmup JSONL event carries the decomposition).
+        # Jitted, init is a single cacheable executable: first run pays
+        # one compile, repeat processes hit the persistent cache.
         def init_fn():
-            return init_state(jax.random.key(tcfg.seed), mcfg, tcfg)
+            return jax.jit(
+                lambda: init_state(jax.random.key(tcfg.seed), mcfg, tcfg))()
 
     t_setup = time.perf_counter()       # noise + step construction done
     state = init_fn()

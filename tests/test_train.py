@@ -816,3 +816,69 @@ class TestReleaseOptState:
         # Idempotent on an already-released state.
         again = release_opt_state(released)
         assert again.opt_state == ()
+
+
+class TestJittedInit:
+    """The train loop initializes state through ONE jitted program
+    (train/loop.py init_fn): on the remote-compile TPU platform each
+    eager init op is a separate server-side compile too cheap for the
+    persistent cache, which cost the 1M flagship ~255 s of warmup per
+    run (benchmarks/init_probe.py). Jitting must not change the init
+    distribution: JAX's PRNG is deterministic under trace and zeros are
+    zeros — the only deviation is the LAST ULP of the N(0,1/d) scale
+    multiply, which XLA fuses into the sampling kernel under jit
+    (measured: one float32 ulp on isolated elements). The jitted program
+    itself is deterministic across processes, so everything that relies
+    on reproducibility (resume exactness, multi-host agreement) compares
+    jitted-to-jitted and stays bit-exact."""
+
+    @pytest.mark.parametrize("optimizer", ["adam", "adagrad", "adafactor"])
+    def test_jitted_init_matches_eager(self, optimizer):
+        tcfg = TrainConfig(batch_size=16, num_epochs=1, optimizer=optimizer,
+                           learning_rate=1e-2)
+        mcfg = ModelConfig(model="lse", vocab_size=50, num_entities=9,
+                           word_dim=8, entity_dim=8,
+                           objective="sampled_softmax", num_negatives=4)
+        eager = init_state(jax.random.key(11), mcfg, tcfg)
+        jitted = jax.jit(
+            lambda: init_state(jax.random.key(11), mcfg, tcfg))()
+        el = jax.tree_util.tree_leaves_with_path(eager)
+        jl = jax.tree_util.tree_leaves_with_path(jitted)
+        assert len(el) == len(jl)
+        for (pa, a), (pb, b) in zip(el, jl):
+            assert pa == pb
+            if str(a.dtype).startswith("key"):
+                a, b = jax.random.key_data(a), jax.random.key_data(b)
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+                continue
+            assert a.dtype == b.dtype
+            np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b, np.float64),
+                rtol=3e-7, atol=0,
+                err_msg=jax.tree_util.keystr(pa))
+
+    def test_jitted_init_sparse_opt_state(self):
+        """The row-sparse lazy flavor (the 10M memory configuration)
+        traces too, bitwise-equal to eager."""
+        tcfg = TrainConfig(batch_size=16, num_epochs=1, optimizer="adam",
+                           learning_rate=1e-2, sparse_update="on")
+        mcfg = ModelConfig(model="lse", vocab_size=50, num_entities=9,
+                           word_dim=8, entity_dim=8,
+                           objective="sampled_softmax", num_negatives=4,
+                           param_dtype="bfloat16")
+        eager = init_state(jax.random.key(7), mcfg, tcfg)
+        jitted = jax.jit(
+            lambda: init_state(jax.random.key(7), mcfg, tcfg))()
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(eager),
+                jax.tree_util.tree_leaves_with_path(jitted)):
+            assert pa == pb
+            if str(a.dtype).startswith("key"):
+                a, b = jax.random.key_data(a), jax.random.key_data(b)
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+                continue
+            assert a.dtype == b.dtype
+            np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b, np.float64),
+                rtol=3e-3 if a.dtype == 'bfloat16' else 3e-7, atol=0,
+                err_msg=jax.tree_util.keystr(pa))

@@ -3,13 +3,24 @@
 The round-4 flagship e2e (run10k16f) carried ~310 s of wall before the
 first logged step; the round-5 loop instrumentation (train/loop.py
 "warmup" log) splits it into setup / device-init / pre-feeder /
-first-batch / first-step, and the first live measurement showed 110.9 s
-in the PRE-FEEDER bucket. This probe replays exactly the stages of
+first-batch / first-step. This probe replays exactly the stages of
 train() up to the first step on the existing prepared 1M data dir, with
 a fine-grained timer around each candidate (step construction, device
 init per leaf, the resume probe, num_batches_per_epoch, the feeder
 construction, the first int(state.step) device sync, the first batch,
 the first compiled step), so the bucket's contents get names.
+
+RESOLVED (NOTES.md round 5): the stall sits at the first
+int(state.step) even though every state leaf block_until_ready's
+instantly — on the remote-compile platform the ~20 tiny eager
+init_state programs (each its own server-side compile, each below the
+persistent cache's entry threshold) drain only at the first
+device->host transfer (50 s in this sequential replay, 257 s in the
+live run where the feeder thread concurrently enqueues H2D puts). The
+train loop now jits init_state as one cacheable program; the live
+step_sync measured 257.6 -> 0.56 s. This probe still calls the EAGER
+init_state deliberately, so the failure mode stays reproducible;
+benchmarks/init_probe.py holds the eager-vs-jitted A/B.
 
 Usage (chip must be otherwise idle):
     python benchmarks/warmup_probe.py [--workdir /tmp/stress_1m]

@@ -167,31 +167,36 @@ def synthetic_10m_scoring() -> RecipeConfig:
 
 
 def synthetic_1m_retrieval() -> RecipeConfig:
-    """The measured-best 1M-entity end-to-end configuration (round 4):
+    """The measured-best 1M-entity end-to-end configuration (round 5):
     hard-mode stand-in at BASELINE.json config-5 training scale, scored at
     depth 1000 (the recall@1k headline). Carries every setting the
-    stress-harness ablations selected — sampled softmax with 16384
+    stress-harness ablations selected — sampled softmax with 32768
     batch-shared negatives (the negatives ladder climbed monotonically
-    1024 -> 16384: NDCG@100 0.852 -> 0.980, recall@1000 0.951 -> 0.9975,
-    within 0.008 NDCG of the measured exact-softmax anchor at 2.3x its
-    training throughput), the fused sampled-LSE Pallas kernel (auto at
-    this k; 75 vs 57 steps/s mid-epoch), bf16 compute, adam + cosine
-    decay, params-only epoch snapshots, steps_per_call=4 (the 16-step
-    scan wedges the remote compile service at this width) — reaching
-    NDCG@100 0.980 / recall@1000 0.9975 on one v5 lite chip
-    (benchmarks/NOTES.md round 4; docs/QUALITY.md)."""
+    1024 -> 32768: NDCG@100 0.852 -> 0.9886, recall@1000 0.951 -> 0.9988,
+    matching the measured exact-softmax anchor at 2.5x its training
+    throughput — the ladder's closing rung), the fused sampled-LSE
+    Pallas kernel (auto at this k; 56.5 steps/s mid-epoch where the
+    anchor runs 22.3), bf16 compute, adam + cosine decay, params-only
+    bf16 epoch snapshots (the scorer consumes bf16; the final epoch
+    stays full fp32 for exact resume — round 5 measured the fp32
+    epoch snapshots as the e2e critical path on a tunneled host),
+    steps_per_call=4 (the 16-step scan wedges the remote compile
+    service at this width) — reaching NDCG@100 0.9886 / recall@1000
+    0.9988 on one v5 lite chip (benchmarks/NOTES.md round 5;
+    docs/QUALITY.md)."""
     return RecipeConfig(
         name="synthetic_1m_retrieval",
         data=DataConfig(window_size=8, vocab_min_count=1,
                         vocab_max_size=300_000),
         model=ModelConfig(model="lse", word_dim=128, entity_dim=128,
-                          objective="sampled_softmax", num_negatives=16384,
+                          objective="sampled_softmax", num_negatives=32768,
                           negative_distribution="unigram",
                           compute_dtype="bfloat16"),
         train=TrainConfig(batch_size=4096, num_epochs=10, optimizer="adam",
                           learning_rate=3e-3, lr_schedule="cosine",
                           lr_final_fraction=0.05, steps_per_call=4,
-                          log_every_steps=200, epoch_snapshot="params"),
+                          log_every_steps=200, epoch_snapshot="params",
+                          snapshot_dtype="bfloat16"),
         score=ScoreConfig(top_k=1000, similarity="cosine", engine="pallas"),
     )
 

@@ -433,11 +433,16 @@ def train(
                     # state is a ~7.8 GB fetch over a ~10 MB/s link). The
                     # run then has no exact continuation point — the
                     # params-only resume warning above fires on restart.
-                    p_only = (getattr(tcfg, "epoch_snapshot", "full")
-                              == "params"
-                              and (not final
-                                   or getattr(tcfg, "final_snapshot",
-                                              "full") == "params"))
+                    # Each knob governs its OWN epochs: the final epoch's
+                    # flavor is final_snapshot alone (a full-snapshot run
+                    # can still end params-only for the fetch budget),
+                    # intermediates are epoch_snapshot alone.
+                    if final:
+                        p_only = (getattr(tcfg, "final_snapshot", "full")
+                                  == "params")
+                    else:
+                        p_only = (getattr(tcfg, "epoch_snapshot", "full")
+                                  == "params")
                     saver.save(
                         ckpt_dir, step_i, state,
                         {"epoch": epoch + 1, "cursor": None, **meta_common},

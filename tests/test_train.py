@@ -784,6 +784,29 @@ class TestSnapshotDtypeAndCadence:
         assert all(np.isfinite(np.asarray(v)).all()
                    for v in params.values())
 
+    def test_final_snapshot_params_with_full_epochs(self, tmp_path):
+        """final_snapshot governs the FINAL epoch's flavor on its own:
+        a run whose intermediate snapshots are full resume points can
+        still end params-only for the end-of-run fetch budget. (Round-5
+        regression: the flavor condition was ANDed with
+        epoch_snapshot=="params", so this combination silently wrote a
+        full final snapshot.)"""
+        ds, _ = _prepared_dataset(tmp_path)
+        out = str(tmp_path / "run")
+        train(RecipeConfig(name="t", model=MCFG,
+                           train=self._tcfg(epoch_snapshot="full",
+                                            final_snapshot="params")),
+              ds, out, deterministic_feed=True)
+        cdir = os.path.join(out, "checkpoints")
+        steps = sorted(ckpt.list_checkpoints(cdir))
+        last = ckpt.list_checkpoints(cdir)[steps[-1]]
+        assert ckpt.load_meta(last).get("params_only") is True
+        # intermediates stayed full (resume-discoverable), and the newest
+        # FULL checkpoint is the penultimate epoch, not the final one
+        newest_full = ckpt.latest_checkpoint(cdir, full_only=True)
+        assert newest_full is not None
+        assert ckpt.load_meta(newest_full)["epoch"] == 2
+
     def test_every_one_is_reference_behavior(self, tmp_path):
         ds, _ = _prepared_dataset(tmp_path)
         out = str(tmp_path / "run")

@@ -206,6 +206,60 @@ SYNTH_1M = SyntheticSpec(num_entities=1_000_000, vocab_size=250_000,
                          seed=13, hard=True, signal=0.6, signature_size=8)
 
 
+def synthetic_10m_training() -> RecipeConfig:
+    """TRAINING at the 10M-entity serving scale on a single 16 GB chip
+    (BASELINE.json config 5's geometry at training time, round-5 10M
+    runs) — the recipe that codifies the memory engineering the scale
+    forces:
+
+    - ``param_dtype="bfloat16"``: the 10M x 128 entity table is 2.56 GB
+      instead of 5.1 fp32;
+    - ``sparse_update="on"``: row-sparse lazy adam — moment traffic and
+      storage scale with the rows a batch touches, not E (bf16 moments
+      ~5.1 GB; the fp32 + dense-adam alternative is ~15.8 GB and OOMs);
+    - ``epoch_snapshot="params"`` + ``snapshot_dtype="bfloat16"`` +
+      ``final_snapshot="params"``: every device->host state movement is
+      params-only bf16 (~2.6 GB) — the full adam state would be a
+      ~7.8 GB fetch;
+    - ``rescore_dtype`` stays "auto": scoring staging resolves to bf16
+      past the fp32 budget (ops/exact_topk.resolve_rescore_dtype).
+
+    k=32768 shared negatives via the fused sampled-LSE Pallas kernel
+    (auto-engaged; the [B,k] logits never reach HBM). The measured
+    2-epoch k=8192 run under this memory configuration (benchmarks/
+    NOTES.md round 5) holds 84.5 steps/s mid-epoch over 500.5M
+    instances and scores depth-1000 NDCG@100 0.6379 / recall@1000
+    0.6225 — the k-coverage gap at 0.08% of a 10M-way partition; this
+    recipe's k=32768 is the negatives-ladder lever at 4x that coverage.
+
+    Total run cost is hours, not minutes: prepare ~500M instances, then
+    ~122k steps/epoch. `benchmarks/stress_1m.py --entities 10000000`
+    drives exactly this configuration with staged logging."""
+    return RecipeConfig(
+        name="synthetic_10m_training",
+        data=DataConfig(window_size=8, vocab_min_count=1,
+                        vocab_max_size=300_000),
+        model=ModelConfig(model="lse", word_dim=128, entity_dim=128,
+                          objective="sampled_softmax", num_negatives=32768,
+                          negative_distribution="unigram",
+                          compute_dtype="bfloat16",
+                          param_dtype="bfloat16"),
+        train=TrainConfig(batch_size=4096, num_epochs=3, optimizer="adam",
+                          learning_rate=3e-3, lr_schedule="cosine",
+                          lr_final_fraction=0.05, steps_per_call=4,
+                          log_every_steps=200, sparse_update="on",
+                          epoch_snapshot="params",
+                          snapshot_dtype="bfloat16",
+                          final_snapshot="params"),
+        score=ScoreConfig(top_k=1000, similarity="cosine", engine="pallas"),
+    )
+
+
+SYNTH_10M = SyntheticSpec(num_entities=10_000_000, vocab_size=250_000,
+                          docs_per_entity=1, doc_len=40, num_topics=200,
+                          seed=13, hard=True, signal=0.6, signature_size=8)
+
+
 RECIPES: Dict[str, Callable[[], RecipeConfig]] = {
     "w3c_expert_finding": w3c_expert_finding,
     "cerc_expert_finding": cerc_expert_finding,
@@ -213,6 +267,7 @@ RECIPES: Dict[str, Callable[[], RecipeConfig]] = {
     "amazon_home_kitchen": amazon_home_kitchen,
     "synthetic_10m_scoring": synthetic_10m_scoring,
     "synthetic_1m_retrieval": synthetic_1m_retrieval,
+    "synthetic_10m_training": synthetic_10m_training,
 }
 
 SYNTH_SPECS: Dict[str, SyntheticSpec] = {
@@ -221,6 +276,7 @@ SYNTH_SPECS: Dict[str, SyntheticSpec] = {
     "amazon_musical_instruments": AMAZON_MI_SYNTH,
     "amazon_home_kitchen": AMAZON_HK_SYNTH,
     "synthetic_1m_retrieval": SYNTH_1M,
+    "synthetic_10m_training": SYNTH_10M,
 }
 
 

@@ -190,7 +190,17 @@ def score_snapshots(workdir, epoch_list, run_name="run"):
     ddir = os.path.join(workdir, "data")
     rdir = os.path.join(workdir, run_name)
     ds = InstanceDataset(ddir)
-    recipe = pipeline.resolve_model_config(build_recipe(0, 0), ds.meta)
+    # The run's own recipe.json (written by train_from_dir), not the
+    # harness default: the 10M runs train param_dtype=bfloat16 — loading
+    # their bf16 snapshots through the default fp32 template would DOUBLE
+    # the params upload (5.1 GB vs 2.6 over a ~3 MB/s link) and any
+    # non-default dims/knobs would silently mismatch.
+    rpath = os.path.join(rdir, "recipe.json")
+    if os.path.exists(rpath):
+        from sert_tpu.utils.config import load_recipe
+        recipe = pipeline.resolve_model_config(load_recipe(rpath), ds.meta)
+    else:
+        recipe = pipeline.resolve_model_config(build_recipe(0, 0), ds.meta)
     steps = sorted(ckpt.list_checkpoints(
         os.path.join(rdir, "checkpoints")))
     n_epochs = len(steps)

@@ -29,6 +29,48 @@ class TestEndToEnd:
         agg = results["all"]
         assert agg["ndcg@100"] > 0.85, agg
 
+    def test_10m_knob_composition_tiny(self, tmp_path):
+        """The synthetic_10m_training recipe's EXACT knob set (bf16
+        params + row-sparse lazy adam + params-only bf16 epoch snapshots
+        + params-only final + cosine + fused-auto sampled softmax +
+        rescore auto), driven end-to-end at tiny scale: the single-chip
+        10M memory configuration must stay a working composition, not
+        just per-knob-tested units."""
+        import numpy as np
+
+        from sert_tpu.train import checkpoint as ckpt
+
+        big = recipes.synthetic_10m_training()
+        tiny = recipes.tiny_recipe("lse")
+        # tiny's scale hyperparameters (dims/lr/epochs/batch), big's KNOBS.
+        recipe = big.__class__(
+            name="tiny10m", data=tiny.data,
+            model=big.model.replace(word_dim=32, entity_dim=32,
+                                    num_negatives=8),
+            train=big.train.__class__(**{**big.train.__dict__,
+                                         "batch_size": tiny.train.batch_size,
+                                         "num_epochs": 4,
+                                         "learning_rate":
+                                             tiny.train.learning_rate,
+                                         "steps_per_call": 1,
+                                         "async_checkpoint": False}),
+            score=big.score.__class__(**{**big.score.__dict__,
+                                         "top_k": 32}),
+        )
+        col = recipes.tiny_spec(seed=7).build()
+        results = pipeline.run_end_to_end(col, recipe, str(tmp_path))
+        agg = results["all"]
+        assert agg["ndcg@100"] > 0.85, agg
+        cdir = str(tmp_path / "run" / "checkpoints")
+        steps = sorted(ckpt.list_checkpoints(cdir))
+        last = ckpt.list_checkpoints(cdir)[steps[-1]]
+        meta = ckpt.load_meta(last)
+        assert meta.get("params_only") is True           # final_snapshot
+        assert meta.get("snapshot_dtype") == "bfloat16"  # snapshot_dtype
+        with np.load(last) as z:
+            assert all(z[k].dtype == np.uint16
+                       for k in z.files if k.startswith(".params"))
+
     def test_sweep_and_dump(self, tmp_path):
         from sert_tpu import pipeline
         col = recipes.tiny_spec(seed=3).build()
